@@ -1,0 +1,48 @@
+"""dqgp_tpu — TPU-native distributed Quantum Gaussian Process Regression.
+
+A ground-up JAX/XLA/Pallas re-design of the capabilities of
+``mpala-lab/distributed-quantum-gaussian-processes`` (quantum-kernel GPs whose
+encoding-circuit parameters are optimized by multi-agent Riemannian ADMM
+consensus on a torus manifold).
+
+Architecture (TPU-first, not a port):
+
+* ``dqgp_tpu.ops``      — circuit IR, batched statevector engine (XLA + Pallas),
+                          GP linear algebra. The reference's per-pair C++
+                          statevector calls (qiskit-aer) become one batched
+                          state-preparation pass + Gram-as-matmul on the MXU.
+* ``dqgp_tpu.models``   — encoding-circuit library, fidelity/projected quantum
+                          kernels with outer kernels, GP posterior/NLL/metrics/CV.
+* ``dqgp_tpu.manifold`` — torus manifold, Riemannian optimizers, ADMM algebra
+                          (pure jittable functions; class API mirrors the
+                          reference's public surface).
+* ``dqgp_tpu.parallel`` — multi-agent execution on a ``jax.sharding.Mesh``:
+                          agents are a named mesh axis, the consensus circular
+                          mean is a ``psum`` of (cos, sin) sums, data stays
+                          device-resident (the reference re-pickles every round
+                          over ProcessPoolExecutor pipes).
+* ``dqgp_tpu.data``     — synthetic quantum-GP sampling, classical test
+                          functions, real-world loaders (SST / robot-push /
+                          SRTM .hgt), partitioning, scalers.
+* ``dqgp_tpu.utils``    — config/CLI (flag-compatible with the reference),
+                          metrics history, plotting, checkpointing.
+
+Precision: statevectors run in complex64 (fidelity entries are magnitudes —
+well conditioned); Gram/Cholesky/NLPD run in float64 (XLA emulates f64 on TPU)
+unless ``DQGP_X64=0``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+# GP-side linear algebra wants f64 for parity with the reference's LAPACK
+# numerics; the statevector path explicitly uses complex64/float32 regardless.
+if os.environ.get("DQGP_X64", "1") != "0":
+    jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from . import manifold  # noqa: E402,F401

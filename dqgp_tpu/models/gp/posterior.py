@@ -1,0 +1,164 @@
+"""GP posterior prediction and per-agent NLL + gradient.
+
+Numerics mirror the reference exactly:
+
+* predict path (main.py:1364-1488): C = K + sigma^2 I + 1e-6 I, Cholesky
+  solve, mean = K_*^T alpha, var = diag(K_**) - sum(v^2) clamped >= 1e-10,
+  explicit-inverse fallback.
+* agent NLL path (agent_riemannian.py:409-471): C = K + sigma^2 I (NO jitter),
+  gradient dL/dtheta_p = 0.5 * sum((C^{-1} - alpha alpha^T) * dK_p^T),
+  NLL = 0.5 logdet + 0.5 y^T C^{-1} y + 0.5 N log(2 pi), with the three
+  components reported separately for the correlation analytics.
+
+Ragged agent shards are padded to a static size and masked (see
+``masked_identity_pad``) so the whole multi-agent step is one fused XLA
+program over the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.linalg import (
+    SolveResult,
+    condition_number,
+    masked_identity_pad,
+    solve_psd_with_fallback,
+)
+from ..kernels.quantum_kernel import (
+    QuantumKernelSpec,
+    gram,
+    kernel_features,
+    gram_from_features,
+)
+from .metrics import outer_diag
+
+
+class NLLResult(NamedTuple):
+    nll: jax.Array
+    grad: jax.Array
+    log_det_term: jax.Array
+    quadratic_term: jax.Array
+    constant_term: jax.Array
+    condition_number: jax.Array
+    chol_ok: jax.Array
+
+
+def masked_nll_and_grad(
+    K: jax.Array,
+    dK: jax.Array,
+    y: jax.Array,
+    mask: jax.Array,
+    noise_std: float,
+    compute_cond: bool = True,
+) -> NLLResult:
+    """NLL, its three components, and d(NLL)/dtheta for one (padded) agent.
+
+    K: (N, N) Gram; dK: (P, N, N); y: (N,); mask: (N,) with 1 = real row.
+    Reference: agent_riemannian.py:409-471.
+    """
+    dtype = K.dtype
+    mask = mask.astype(dtype)
+    y = (y * mask).astype(dtype)
+    Km = masked_identity_pad(K, mask)
+    C = Km + (noise_std**2) * jnp.diag(mask)  # sigma^2 only on real rows
+
+    res = solve_psd_with_fallback(C, y)
+    alpha = res.C_inv_y
+
+    # Gradient: 0.5 * sum((C^{-1} - alpha alpha^T) ∘ dK_p^T)
+    bracket = res.C_inv - jnp.outer(alpha, alpha)
+    m2 = mask[:, None] * mask[None, :]
+    dKm = dK * m2[None, :, :]
+    grad = 0.5 * jnp.einsum("ij,pji->p", bracket, dKm.astype(dtype))
+
+    n_real = jnp.sum(mask)
+    log_det_term = 0.5 * res.logdet  # padded block contributes log(1) = 0
+    quadratic_term = 0.5 * jnp.dot(y, alpha)
+    constant_term = 0.5 * n_real * jnp.log(2.0 * jnp.pi)
+    nll = log_det_term + quadratic_term + constant_term
+
+    if compute_cond:
+        cond = condition_number(Km)  # reference conditions the noise-free C
+    else:
+        cond = jnp.asarray(jnp.nan, dtype)
+    return NLLResult(nll, grad, log_det_term, quadratic_term, constant_term, cond, res.chol_ok)
+
+
+def gp_posterior_from_grams(
+    K_tt: jax.Array,
+    K_st: jax.Array,
+    K_ss_diag: jax.Array,
+    y_train: jax.Array,
+    noise_std: float,
+    jitter: float = 1e-6,
+    train_mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Posterior mean/var from precomputed Grams. Returns (mean, var, chol_ok).
+
+    Reference semantics main.py:1433-1466: noise + jitter on the training
+    Gram, Cholesky solve, variance clamp at 1e-10.
+    """
+    dtype = K_tt.dtype
+    n = K_tt.shape[0]
+    if train_mask is None:
+        train_mask = jnp.ones((n,), dtype)
+    m = train_mask.astype(dtype)
+    Km = masked_identity_pad(K_tt, m)
+    C = Km + (noise_std**2 + jitter) * jnp.diag(m)
+    y = y_train * m
+    K_st = K_st * m[None, :]
+
+    res = solve_psd_with_fallback(C, y)
+    mean = K_st @ res.C_inv_y
+    # var = diag(K_**) - sum(v^2), v = L^{-1} K_st^T on the Cholesky path;
+    # on the fallback path use the explicit inverse (main.py:1476-1482).
+    from jax.scipy.linalg import solve_triangular
+
+    def chol_var(_):
+        v = solve_triangular(res.L, K_st.T, lower=True)
+        return K_ss_diag - jnp.sum(v * v, axis=0)
+
+    def inv_var(_):
+        return K_ss_diag - jnp.sum((K_st @ res.C_inv) * K_st, axis=1)
+
+    var = jax.lax.cond(res.chol_ok, chol_var, inv_var, None)
+    var = jnp.maximum(var, 1e-10)
+    return mean, var, res.chol_ok
+
+
+def predict_quantum_gp(
+    spec: QuantumKernelSpec,
+    X_train: jax.Array,
+    Y_train: jax.Array,
+    X_test: jax.Array,
+    theta: jax.Array,
+    noise_std: float,
+    jitter: float = 1e-6,
+    dtype=jnp.float64,
+) -> Tuple[jax.Array, jax.Array]:
+    """End-to-end posterior predict (mean, var) — main.py:1364-1488 twin.
+
+    Features are computed once per input set; the test-test Gram is never
+    materialized (only its diagonal is needed for the predictive variance —
+    the reference computes the full K_test_test, main.py:1429-1431).
+    """
+    fdtype = jnp.complex128 if spec.kernel_type == "fidelity" else dtype
+    if not jax.config.jax_enable_x64:
+        fdtype = jnp.complex64 if spec.kernel_type == "fidelity" else jnp.float32
+    F_tr = kernel_features(spec, X_train, theta).astype(fdtype)
+    F_te = kernel_features(spec, X_test, theta).astype(fdtype)
+    K_tt = gram_from_features(spec, F_tr).astype(dtype)
+    K_st = gram_from_features(spec, F_te, F_tr).astype(dtype)
+    if spec.kernel_type == "fidelity":
+        K_ss_diag = jnp.ones((X_test.shape[0],), dtype)
+    else:
+        K_ss_diag = outer_diag(spec.outer_kernel, F_te, spec.outer_params).astype(dtype)
+    mean, var, _ = gp_posterior_from_grams(
+        K_tt, K_st, K_ss_diag, Y_train.astype(dtype), noise_std, jitter
+    )
+    return mean, var

@@ -1,0 +1,296 @@
+"""Quantum kernels: fidelity and projected, batched and MXU-shaped.
+
+Replaces the reference's squlearn FidelityKernel / ProjectedQuantumKernel
+usage (main.py:43-145; agent_riemannian.py:87-111). Key algebraic re-design
+(SURVEY.md §7): both kernels factor through per-sample statevectors, so
+
+* fidelity:   K = |Psi_A Psi_B^H|^2     — one batched state pass + one matmul
+              (the reference runs N^2 independent circuit simulations);
+* projected:  F(x) = single-qubit Pauli expectations of |psi(x)>, then an
+              outer kernel on F — O(N) state preparations, one matmul.
+
+Parameter-shift gradients batch all 2P+1 shifted parameter vectors through a
+single vmapped state pass. For reference parity the "shift rule" is exactly
+the reference's central finite difference with h = pi/8 and parameters wrapped
+to the torus BEFORE evaluation (agent_riemannian.py:38-41, 247-275 — the wrap
+changes the physics near the period boundary, so it is load-bearing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.circuit import Circuit
+from ...ops.statevector import (
+    angle_matrix,
+    batched_states,
+    pauli_features,
+    pauli_string_expectation,
+)
+from ...manifold import PERIOD
+from .outer import outer_gram
+from ..circuits import build_circuit
+
+Measurement = Union[str, Tuple[str, ...]]
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantumKernelSpec:
+    """Static (hashable) kernel description — usable as a jit static arg."""
+
+    circuit: Circuit
+    kernel_type: str = "fidelity"          # 'fidelity' | 'projected'
+    measurement: Measurement = "XYZ"       # chars of single-qubit Paulis, or
+                                           # a tuple of full Pauli strings
+    outer_kernel: str = "gaussian"
+    outer_kernel_params: Tuple[Tuple[str, float], ...] = ()
+    regularization: Optional[str] = None   # 'thresholding' | 'tikhonov' | None
+
+    def __post_init__(self):
+        if self.kernel_type not in ("fidelity", "projected"):
+            raise ValueError(
+                f"Unknown kernel type: {self.kernel_type}. Supported: 'fidelity', 'projected'"
+            )
+        if isinstance(self.measurement, list):
+            object.__setattr__(self, "measurement", tuple(self.measurement))
+
+    @property
+    def num_parameters(self) -> int:
+        return self.circuit.num_parameters
+
+    @property
+    def outer_params(self) -> Dict[str, float]:
+        return dict(self.outer_kernel_params)
+
+
+# ---------------------------------------------------------------------------
+# Feature computation
+# ---------------------------------------------------------------------------
+
+
+def _measurement_selector(spec: QuantumKernelSpec) -> Tuple[str, ...]:
+    m = spec.measurement
+    if isinstance(m, str):
+        chars = tuple(m.upper())
+        if not chars or any(c not in "XYZ" for c in chars):
+            raise ValueError(f"Bad measurement string {m!r}; use chars from 'XYZ'")
+        return chars
+    return tuple(m)
+
+
+def kernel_features(spec: QuantumKernelSpec, X: jax.Array, theta: jax.Array) -> jax.Array:
+    """Per-sample features: complex states for fidelity, Pauli-expectation
+    vectors for projected. Shapes: (N, 2^n) complex64 / (N, D) float32."""
+    states = batched_states(spec.circuit, X, theta)
+    if spec.kernel_type == "fidelity":
+        return states
+
+    m = _measurement_selector(spec)
+    n = spec.circuit.num_qubits
+    if all(len(s) == 1 for s in m):
+        # single-qubit measurement chars, e.g. "XYZ" -> (N, len(m)*n)
+        full = pauli_features(states, n)  # [X block, Y block, Z block]
+        blocks = {"X": full[:, :n], "Y": full[:, n : 2 * n], "Z": full[:, 2 * n :]}
+        return jnp.concatenate([blocks[c] for c in m], axis=-1)
+    # explicit multi-qubit Pauli strings
+    cols = [pauli_string_expectation(states, p) for p in m]
+    return jnp.stack(cols, axis=-1).astype(jnp.float32)
+
+
+def regularize_gram(K: jax.Array, method: Optional[str]) -> jax.Array:
+    """Square-Gram regularization (squlearn semantics, main.py:2011-2013):
+
+    * thresholding — eigenvalue clip at 0 (drop negative spectrum);
+    * tikhonov    — shift by the most negative eigenvalue if any.
+    """
+    if method is None:
+        return K
+    if method == "thresholding":
+        w, v = jnp.linalg.eigh(K)
+        w = jnp.maximum(w, 0.0)
+        return (v * w[..., None, :]) @ jnp.swapaxes(v, -1, -2)
+    if method == "tikhonov":
+        w = jnp.linalg.eigvalsh(K)
+        lam_min = jnp.min(w)
+        shift = jnp.where(lam_min < 0.0, -lam_min, 0.0)
+        return K + shift * jnp.eye(K.shape[-1], dtype=K.dtype)
+    raise ValueError(f"Unknown regularization {method!r}")
+
+
+def gram_from_features(
+    spec: QuantumKernelSpec, FA: jax.Array, FB: Optional[jax.Array] = None
+) -> jax.Array:
+    """Gram matrix from precomputed features; FB=None means symmetric Gram
+    (and triggers regularization, which squlearn applies to square Grams)."""
+    symmetric = FB is None
+    FB = FA if FB is None else FB
+    if spec.kernel_type == "fidelity":
+        # K = |<psi_a|psi_b>|^2 via two real matmuls (MXU path).
+        ar, ai = jnp.real(FA), jnp.imag(FA)
+        br, bi = jnp.real(FB), jnp.imag(FB)
+        re = ar @ br.T + ai @ bi.T
+        im = ar @ bi.T - ai @ br.T
+        K = re * re + im * im
+    else:
+        K = outer_gram(spec.outer_kernel, FA, FB, spec.outer_params)
+    if symmetric:
+        K = regularize_gram(K, spec.regularization)
+    return K
+
+
+def gram(
+    spec: QuantumKernelSpec,
+    XA: jax.Array,
+    theta: jax.Array,
+    XB: Optional[jax.Array] = None,
+) -> jax.Array:
+    """K(XA, XB; theta). XB=None computes the symmetric training Gram."""
+    FA = kernel_features(spec, XA, theta)
+    FB = None if XB is None else kernel_features(spec, XB, theta)
+    return gram_from_features(spec, FA, FB)
+
+
+# ---------------------------------------------------------------------------
+# Parameter-shift (central-difference) Gram gradients — reference parity
+# ---------------------------------------------------------------------------
+
+
+def shift_parameter_batch(theta: jax.Array, h: float, period: float = PERIOD) -> jax.Array:
+    """(2P+1, P) batch: [wrap(theta); wrap(theta +/- h e_p) ...].
+
+    Row 0 is the unshifted point; rows 1+2p / 2+2p are +/- shifts of
+    parameter p. All rows wrapped to [0, period) exactly as the reference's
+    worker does (agent_riemannian.py:38-41)."""
+    P = theta.shape[0]
+    eye = jnp.eye(P, dtype=theta.dtype)
+    plus = theta[None, :] + h * eye
+    minus = theta[None, :] - h * eye
+    stacked = jnp.concatenate([theta[None, :], plus, minus], axis=0)
+    return jnp.mod(stacked, period)
+
+
+def gram_and_shift_grads(
+    spec: QuantumKernelSpec,
+    X: jax.Array,
+    theta: jax.Array,
+    h: float = float(np.pi / 8),
+    period: float = PERIOD,
+) -> Tuple[jax.Array, jax.Array]:
+    """(K, dK/dtheta) with the reference's central difference.
+
+    dK[p] = (K(wrap(theta + h e_p)) - K(wrap(theta - h e_p))) / (2h)
+    (agent_riemannian.py:247-275 — note: finite difference, not the exact
+    two-term parameter-shift rule; SURVEY.md §2.6 quirk (b)).
+
+    Returns K (N, N) and dK (P, N, N). All 2P+1 Gram evaluations run as one
+    vmapped batch — the reference fans them out as separate OS processes that
+    each rebuild the circuit from scratch.
+    """
+    thetas = shift_parameter_batch(theta, h, period)          # (2P+1, P)
+    feats = jax.vmap(lambda t: kernel_features(spec, X, t))(thetas)
+    grams = jax.vmap(lambda f: gram_from_features(spec, f))(feats)
+    K = grams[0]
+    P = theta.shape[0]
+    dK = (grams[1 : 1 + P] - grams[1 + P :]) / (2.0 * h)
+    return K, dK
+
+
+# ---------------------------------------------------------------------------
+# Facade mirroring the squlearn kernel API used by the reference
+# ---------------------------------------------------------------------------
+
+
+class QuantumKernel:
+    """API-parity facade over the functional kernel ops.
+
+    Mirrors the squlearn surface the reference touches:
+    ``num_parameters`` / ``assign_parameters`` / ``_parameters`` /
+    ``evaluate`` / ``evaluate_derivatives`` (main.py:198-205, 245, 1413-1430;
+    agent_riemannian.py:114-118, 402-404).
+    """
+
+    def __init__(self, spec: QuantumKernelSpec):
+        self.spec = spec
+        self._parameters: Optional[jnp.ndarray] = None
+        self._gram_jit = jax.jit(
+            lambda XA, th, XB: gram(spec, XA, th, XB), static_argnums=()
+        )
+        self._sym_gram_jit = jax.jit(lambda XA, th: gram(spec, XA, th))
+        self._grads_jit = jax.jit(
+            lambda X, th, h: gram_and_shift_grads(spec, X, th, h)
+        )
+
+    @property
+    def num_parameters(self) -> int:
+        return self.spec.num_parameters
+
+    @property
+    def encoding_circuit(self) -> Circuit:
+        return self.spec.circuit
+
+    def assign_parameters(self, params) -> None:
+        self._parameters = jnp.asarray(params, jnp.float32)
+
+    def evaluate(self, XA, XB=None) -> np.ndarray:
+        if self._parameters is None:
+            raise ValueError("parameters not assigned")
+        XA = jnp.asarray(XA)
+        if XB is None or (XB is XA) or (
+            XB.shape == XA.shape and bool(jnp.all(jnp.asarray(XB) == XA))
+        ):
+            K = self._sym_gram_jit(XA, self._parameters)
+        else:
+            K = self._gram_jit(XA, self._parameters, jnp.asarray(XB))
+        return np.asarray(K, np.float64)
+
+    def evaluate_derivatives(self, XA, XB=None, values=("K", "dKdp"), h=float(np.pi / 8)):
+        if self._parameters is None:
+            raise ValueError("parameters not assigned")
+        K, dK = self._grads_jit(jnp.asarray(XA), self._parameters, h)
+        out = {}
+        if "K" in values:
+            out["K"] = np.asarray(K, np.float64)
+        if "dKdp" in values:
+            out["dKdp"] = np.asarray(dK, np.float64)
+        return out
+
+
+def create_quantum_kernel(
+    num_qubits: int,
+    num_features: int = 1,
+    num_layers: int = 2,
+    use_parameter_shift: bool = True,
+    encoding_type: str = "yz_cx",
+    kernel_type: str = "fidelity",
+    measurement: Measurement = "XYZ",
+    outer_kernel: str = "gaussian",
+    outer_kernel_params: Optional[Dict[str, float]] = None,
+    regularization: Optional[str] = None,
+    apply_outer_params: bool = False,
+) -> QuantumKernel:
+    """Flag-compatible twin of the reference's factory (main.py:43-145).
+
+    ``use_parameter_shift`` selected qiskit-aer vs PennyLane in the reference;
+    here both gradient styles run on the same XLA engine, so it is accepted
+    and ignored. ``apply_outer_params=False`` reproduces the reference quirk
+    that CLI outer-kernel hyperparameters never reach the main-path kernels
+    (main.py:127-133, SURVEY.md §2.1) — set True to actually honor them.
+    """
+    del use_parameter_shift
+    circuit = build_circuit(encoding_type, num_qubits, num_features, num_layers)
+    params = tuple(sorted((outer_kernel_params or {}).items())) if apply_outer_params else ()
+    spec = QuantumKernelSpec(
+        circuit=circuit,
+        kernel_type=kernel_type,
+        measurement=measurement,
+        outer_kernel=outer_kernel,
+        outer_kernel_params=params,
+        regularization=regularization,
+    )
+    return QuantumKernel(spec)

@@ -1,0 +1,83 @@
+"""GP linear algebra with the reference's numerical-fallback semantics.
+
+The reference's solve chain is Cholesky -> LU -> pinv
+(agent_riemannian.py:414-428) and Cholesky -> explicit inverse in the predict
+path (main.py:1450-1486). Under XLA a failed Cholesky yields NaNs instead of
+raising, so the fallback is expressed as a ``lax.cond`` on finiteness: the
+happy path stays a single fused Cholesky program, and the (rare) indefinite
+case pays for an eigendecomposition-based pseudo-inverse. Both branches are
+compiled once; only one executes per call.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.scipy.linalg import solve_triangular
+
+
+class SolveResult(NamedTuple):
+    C_inv: jax.Array        # (N, N)
+    C_inv_y: jax.Array      # (N,)
+    logdet: jax.Array       # scalar
+    chol_ok: jax.Array      # bool scalar
+    L: jax.Array            # Cholesky factor (garbage if chol_ok is False)
+
+
+def solve_psd_with_fallback(C: jax.Array, y: jax.Array) -> SolveResult:
+    """C^{-1}, C^{-1} y and logdet(C) via Cholesky, eigh-pinv on failure.
+
+    Mirrors agent_riemannian.py:414-428 + the slogdet guard at :442-444 (the
+    LU middle step is collapsed into the pinv branch: for any invertible C
+    they agree to rounding; for singular C the reference also lands on pinv).
+    """
+    n = C.shape[-1]
+    eye = jnp.eye(n, dtype=C.dtype)
+    L = jnp.linalg.cholesky(C)
+    chol_ok = jnp.all(jnp.isfinite(L))
+    L_safe = jnp.where(chol_ok, L, eye)
+
+    def chol_branch(_):
+        w = solve_triangular(L_safe, y, lower=True)
+        C_inv_y = solve_triangular(L_safe.T, w, lower=False)
+        Vi = solve_triangular(L_safe, eye, lower=True)
+        C_inv = solve_triangular(L_safe.T, Vi, lower=False)
+        logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_safe)))
+        return C_inv, C_inv_y, logdet
+
+    def pinv_branch(_):
+        w, V = jnp.linalg.eigh(C)
+        # pinv with sklearn-style cutoff; slogdet guard: the reference falls
+        # back to det of a 1e-8-jittered matrix when sign(det) <= 0
+        # (agent_riemannian.py:442-444); we use sum(log|w| + 1e-8) which is
+        # finite in the same regimes.
+        cutoff = jnp.max(jnp.abs(w)) * n * jnp.finfo(C.dtype).eps
+        w_inv = jnp.where(jnp.abs(w) > cutoff, 1.0 / w, 0.0)
+        C_inv = (V * w_inv[None, :]) @ V.T
+        C_inv_y = C_inv @ y
+        logdet = jnp.sum(jnp.log(jnp.abs(w) + 1e-8))
+        return C_inv, C_inv_y, logdet
+
+    C_inv, C_inv_y, logdet = lax.cond(chol_ok, chol_branch, pinv_branch, None)
+    return SolveResult(C_inv, C_inv_y, logdet, chol_ok, L_safe)
+
+
+def condition_number(C: jax.Array) -> jax.Array:
+    """2-norm condition number (SVD), as np.linalg.cond in the reference
+    (agent_riemannian.py:411, main.py:1441)."""
+    s = jnp.linalg.svd(C, compute_uv=False)
+    return s[..., 0] / s[..., -1]
+
+
+def masked_identity_pad(K: jax.Array, mask: jax.Array) -> jax.Array:
+    """Zero padded rows/cols of a Gram and put 1 on padded diagonal entries.
+
+    Padded block becomes an identity: its Cholesky is trivial, its logdet
+    contribution is 0, and it decouples from the real block — the device-side
+    answer to ragged per-agent shard sizes (static shapes for XLA).
+    """
+    m2 = mask[:, None] * mask[None, :]
+    return K * m2 + jnp.diag(1.0 - mask)
