@@ -1,0 +1,356 @@
+"""Command-line entry point — flag-compatible with the reference's ``main.py``
+(argparse surface main.py:1929-2043; defaults SURVEY.md §5.6).
+
+Pipeline (mirrors main.py:2045-3682): dataset dispatch (quantum synthetic /
+classical / real-world) -> train/test split -> agent partitioning -> ADMM
+training with per-iteration CV model selection -> final prediction with the
+best-CV consensus -> evaluation (+ ground-truth comparison harness for
+synthetic data) -> plots and structured metrics files.
+
+Improvements over the reference (documented divergences, all opt-in or
+additive): structured JSON metrics output, checkpoint/resume, and honest
+outer-kernel params via ``--apply-outer-kernel-params`` (the reference
+silently drops them, SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Distributed Quantum Gaussian Process Regression with Riemannian ADMM (TPU-native)"
+    )
+    parser.add_argument("--n-agents", type=int, default=4)
+    parser.add_argument("--num-qubits", type=int, default=4)
+    parser.add_argument("--num-layers", type=int, default=2)
+    parser.add_argument("--max-iter", type=int, default=100)
+    parser.add_argument("--tolerance", type=float, default=1e-6)
+    parser.add_argument("--rho", type=float, default=100.0)
+    parser.add_argument("--L", type=float, default=100.0)
+    parser.add_argument("--input-dim", type=int, default=1, choices=[1, 2, 3, 4, 5, 6])
+    parser.add_argument("--n-dataset", type=int, default=100)
+    parser.add_argument("--partition", choices=["regional", "random", "sequential"], default="regional")
+    parser.add_argument("--data-percentage", type=float, default=1.0)
+    parser.add_argument("--noise-std", type=float, default=0.1)
+    parser.add_argument("--test-split", type=float, default=0.1)
+    parser.add_argument("--num-workers", type=int, default=None,
+                        help="accepted for reference compatibility; execution is on-device")
+    parser.add_argument("--shift-value", type=float, default=float(np.pi / 8))
+
+    # dataset selection
+    parser.add_argument("--classical-dataset", action="store_true")
+    parser.add_argument("--real-world-dataset", type=str, default=None,
+                        choices=["sst", "sea_surface_temperature", "robot_push", "robot",
+                                 "push", "srtm_elevation", "srtm", "elevation"])
+    parser.add_argument("--srtm-region", type=str, default="maharashtra",
+                        choices=["maharashtra", "great_lakes", "oregon_coast", "washington_coast"])
+    parser.add_argument("--use-srtm-preprocessed", action="store_true", default=False)
+    parser.add_argument("--dataset-max-samples", type=int, default=5000)
+    parser.add_argument("--dataset-subsample", type=int, default=10)
+    parser.add_argument("--dataset-normalize", action="store_true", default=False)
+    parser.add_argument("--dataset-only", action="store_true")
+    parser.add_argument("--save-dataset", action="store_true")
+    parser.add_argument("--dataset-name", type=str, default="quantum_dataset")
+    parser.add_argument("--data-range", nargs=2, type=float, default=[-2.0, 2.0])
+    parser.add_argument("--encoding",
+                        choices=["chebyshev", "yz_cx", "hubregtsen", "kyriienko",
+                                 "multi_control", "layered", "random", "highdim"],
+                        default="yz_cx")
+    parser.add_argument("--kernel-type", choices=["fidelity", "projected"], default="fidelity")
+    parser.add_argument("--measurement", type=str, default="XYZ")
+    parser.add_argument("--outer-kernel", type=str, default="gaussian",
+                        choices=["gaussian", "matern", "expsinesquared",
+                                 "rationalquadratic", "dotproduct", "pairwisekernel"])
+    parser.add_argument("--outer-kernel-gamma", type=float, default=1.0)
+    parser.add_argument("--outer-kernel-length-scale", type=float, default=1.0)
+    parser.add_argument("--outer-kernel-nu", type=float, default=1.5)
+    parser.add_argument("--outer-kernel-alpha", type=float, default=1.0)
+    parser.add_argument("--outer-kernel-sigma", type=float, default=1.0)
+    parser.add_argument("--outer-kernel-periodicity", type=float, default=1.0)
+    parser.add_argument("--regularization", type=str, default=None,
+                        choices=["thresholding", "tikhonov", None])
+    parser.add_argument("--no-plot", action="store_true")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--data-seed", type=int, default=None)
+    parser.add_argument("--kernel-params", type=float, nargs="+", default=None)
+
+    # Riemannian optimization
+    parser.add_argument("--riemannian-lr", type=float, default=0.015)
+    parser.add_argument("--riemannian-method",
+                        choices=["gradient_descent", "momentum", "conjugate_gradient"],
+                        default="gradient_descent")
+    parser.add_argument("--riemannian-beta", type=float, default=0.9)
+    parser.add_argument("--gradient-clip-norm", type=float, default=1.0)
+    parser.add_argument("--max-step-size", type=float, default=0.1)
+
+    # cross-validation
+    parser.add_argument("--cv-folds", type=int, default=5)
+    parser.add_argument("--cv-patience", type=int, default=50)
+
+    # --- additions over the reference (documented divergences) -------------
+    parser.add_argument("--apply-outer-kernel-params", action="store_true",
+                        help="actually honor --outer-kernel-* values (the reference "
+                             "assembles but drops them, SURVEY.md §2.1)")
+    parser.add_argument("--no-parity-round", action="store_true",
+                        help="disable the reference's 4-decimal per-iteration quantization")
+    parser.add_argument("--no-cv", action="store_true",
+                        help="skip per-iteration k-fold CV model selection")
+    parser.add_argument("--no-cond", action="store_true",
+                        help="skip per-iteration SVD condition numbers")
+    parser.add_argument("--srtm-time-seed", action="store_true",
+                        help="reproduce the reference's time-based SRTM seeding "
+                             "(main.py:2136-2138); default uses --seed for reproducibility")
+    parser.add_argument("--checkpoint-dir", type=str, default=None)
+    parser.add_argument("--checkpoint-every", type=int, default=10)
+    parser.add_argument("--resume-from", type=str, default=None)
+    parser.add_argument("--output-dir", type=str, default="results")
+    parser.add_argument("--metrics-json", type=str, default=None,
+                        help="write structured run metrics to this JSON file")
+    parser.add_argument("--mesh-devices", type=int, default=None,
+                        help="number of devices for the agents mesh (default: all)")
+    parser.add_argument("--quiet", action="store_true")
+    return parser
+
+
+def assemble_outer_kernel_params(args) -> dict:
+    """main.py:2052-2077."""
+    ok = args.outer_kernel
+    if ok == "gaussian":
+        return {"gamma": args.outer_kernel_gamma}
+    if ok == "matern":
+        return {"length_scale": args.outer_kernel_length_scale, "nu": args.outer_kernel_nu}
+    if ok == "expsinesquared":
+        return {"length_scale": args.outer_kernel_length_scale,
+                "periodicity": args.outer_kernel_periodicity}
+    if ok == "rationalquadratic":
+        return {"length_scale": args.outer_kernel_length_scale,
+                "alpha": args.outer_kernel_alpha}
+    if ok == "dotproduct":
+        return {"sigma_0": args.outer_kernel_sigma}
+    return {}
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    from .data import (
+        generate_data_numpy,
+        generate_quantum_gp_data,
+        load_real_world_dataset,
+        save_quantum_dataset,
+        split_data_numpy,
+    )
+    from .driver import TrainConfig, train
+    from .models.circuits import build_circuit
+    from .models.gp import evaluate_predictions, predict_quantum_gp
+    from .models.kernels import QuantumKernelSpec
+    from .utils import plotting
+    from . import manifold as M
+
+    args = build_parser().parse_args(argv)
+    if not (0.0 < args.data_percentage <= 1.0):
+        raise ValueError(f"data_percentage must be between 0.0 and 1.0, got {args.data_percentage}")
+    log = (lambda *a, **k: None) if args.quiet else print
+
+    np.random.seed(args.seed)
+    outer_kernel_params = assemble_outer_kernel_params(args)
+
+    # --- dataset ------------------------------------------------------------
+    dataset_name = None
+    srtm_data_seed = args.seed
+    ground_truth_params = None
+    input_dim = args.input_dim
+
+    def make_spec(num_features: int) -> QuantumKernelSpec:
+        circuit = build_circuit(args.encoding, args.num_qubits, num_features, args.num_layers)
+        params = (tuple(sorted(outer_kernel_params.items()))
+                  if args.apply_outer_kernel_params else ())
+        return QuantumKernelSpec(
+            circuit=circuit,
+            kernel_type=args.kernel_type,
+            measurement=args.measurement,
+            outer_kernel=args.outer_kernel,
+            outer_kernel_params=params,
+            regularization=args.regularization,
+        )
+
+    if args.real_world_dataset:
+        log("=== Real-World Dataset Mode ===")
+        key = args.real_world_dataset.lower()
+        if key in ("srtm", "elevation", "srtm_elevation"):
+            dataset_name = "srtm_elevation"
+            if args.srtm_time_seed:
+                srtm_data_seed = int(time.time() * 1000) % 2**32
+        elif key in ("sst", "sea_surface_temperature"):
+            dataset_name = "sst"
+        else:
+            dataset_name = "robot_push"
+        kwargs = dict(
+            normalize=args.dataset_normalize,
+            max_samples=args.dataset_max_samples,
+            random_state=srtm_data_seed,
+            save_plot=not args.no_plot,
+        )
+        if dataset_name == "sst":
+            kwargs["subsample_factor"] = args.dataset_subsample
+        elif dataset_name == "srtm_elevation":
+            kwargs["region"] = args.srtm_region
+            kwargs["subsample_factor"] = args.dataset_subsample
+            kwargs["use_preprocessed"] = args.use_srtm_preprocessed
+        X_full, Y_full = load_real_world_dataset(dataset_name, **kwargs)
+        input_dim = X_full.shape[1]
+        spec = make_spec(input_dim)
+    elif args.classical_dataset:
+        log("=== Classical Dataset Training Mode ===")
+        dataset_name = "classical"
+        total = int(args.n_dataset / (1 - args.test_split))
+        X_full, Y_full = generate_data_numpy(total, input_dim, args.noise_std, args.data_seed)
+        spec = make_spec(input_dim)
+    else:
+        log("=== Quantum Dataset Generation Mode ===")
+        dataset_name = "quantum"
+        spec = make_spec(input_dim)
+        t0 = time.time()
+        X_full, Y_full, ground_truth_params = generate_quantum_gp_data(
+            args.n_dataset, input_dim, spec,
+            data_range=tuple(args.data_range), noise_std=args.noise_std,
+            kernel_params=(np.array(args.kernel_params) if args.kernel_params else None),
+            data_seed=args.data_seed, param_seed=args.seed, verbose=not args.quiet,
+        )
+        log(f"Quantum dataset generation time: {time.time() - t0:.4f}s")
+
+    if args.save_dataset:
+        fn = save_quantum_dataset(X_full, Y_full, args.dataset_name)
+        log(f"Dataset saved to: {fn}")
+
+    log(f"Dataset: {X_full.shape[0]} samples, {X_full.shape[1]}D input")
+    if args.dataset_only:
+        if not args.no_plot:
+            plotting.plot_dataset(X_full, Y_full, save_plot=True, output_dir=args.output_dir)
+        log("Stopping after dataset loading (--dataset-only flag)")
+        return None
+
+    # --- split + partition ----------------------------------------------------
+    from sklearn.model_selection import train_test_split
+
+    split_seed = srtm_data_seed if dataset_name == "srtm_elevation" else args.seed
+    indices = np.arange(len(X_full))
+    X_train, X_test, Y_train, Y_test, train_idx, test_idx = train_test_split(
+        X_full, Y_full, indices, test_size=args.test_split,
+        random_state=split_seed, shuffle=True,
+    )
+    log(f"Train: {X_train.shape}, Test: {X_test.shape}")
+
+    splits = split_data_numpy(X_train, Y_train, args.n_agents, args.partition,
+                              args.data_percentage, args.seed)
+    for i, (Xa, _) in enumerate(splits):
+        log(f"  Agent {i+1}: {Xa.shape[0]} samples")
+
+    if not args.no_plot:
+        plotting.plot_dataset(X_full, Y_full, save_plot=True, output_dir=args.output_dir,
+                              train_indices=train_idx, test_indices=test_idx)
+        plotting.plot_agent_data_distribution(splits, save_plot=True, output_dir=args.output_dir)
+
+    log(f"Encoding circuit parameters: {spec.num_parameters}")
+
+    # --- train ---------------------------------------------------------------
+    cfg = TrainConfig(
+        rho=args.rho, L=args.L, noise_std=args.noise_std,
+        max_iter=args.max_iter, tolerance=args.tolerance,
+        shift_value=args.shift_value, cv_folds=args.cv_folds,
+        cv_patience=args.cv_patience, seed=args.seed,
+        parity_round=not args.no_parity_round,
+        compute_cond=not args.no_cond,
+        run_cv=not args.no_cv,
+        n_mesh_devices=args.mesh_devices,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every=args.checkpoint_every,
+        verbose=not args.quiet,
+    )
+    res = train(spec, splits, X_train, Y_train, cfg,
+                ground_truth_params=ground_truth_params,
+                resume_from=args.resume_from)
+
+    hyperparams = res.z_best_cv if res.z_best_cv is not None else res.z
+    log(f"Final consensus params: {res.z}")
+    if res.z_best_cv is not None:
+        log(f"Best CV params:         {res.z_best_cv} (CV-NLPD {res.cv_best:.6f})")
+
+    # --- final prediction + evaluation (main.py:3104-3682) --------------------
+    mean, var = predict_quantum_gp(
+        spec, jnp.asarray(X_train), jnp.asarray(Y_train), jnp.asarray(X_test),
+        jnp.asarray(hyperparams, jnp.float64), noise_std=args.noise_std,
+    )
+    test_metrics = evaluate_predictions(Y_test, np.asarray(mean), np.asarray(var),
+                                        "Test", verbose=not args.quiet)
+    mean_tr, var_tr = predict_quantum_gp(
+        spec, jnp.asarray(X_train), jnp.asarray(Y_train), jnp.asarray(X_train),
+        jnp.asarray(hyperparams, jnp.float64), noise_std=args.noise_std,
+    )
+    train_metrics = evaluate_predictions(Y_train, np.asarray(mean_tr), np.asarray(var_tr),
+                                         "Train", verbose=not args.quiet)
+
+    gt_metrics = None
+    if ground_truth_params is not None:
+        gt_mean, gt_var = predict_quantum_gp(
+            spec, jnp.asarray(X_train), jnp.asarray(Y_train), jnp.asarray(X_test),
+            jnp.asarray(ground_truth_params, jnp.float64), noise_std=args.noise_std,
+        )
+        gt_metrics = evaluate_predictions(Y_test, np.asarray(gt_mean), np.asarray(gt_var),
+                                          "Ground-truth-params Test", verbose=False)
+        gt_err = M.np_distance(np.asarray(hyperparams), ground_truth_params)
+        log("\n=== Ground-truth comparison (analysis only) ===")
+        log(f"Riemannian ||z - theta*||: {gt_err:.6f} (best during run: {res.error_best:.6f})")
+        for k in ("r2", "rmse", "nlpd"):
+            if k in test_metrics and k in gt_metrics:
+                log(f"  {k}: trained={test_metrics[k]:.6f}  ground-truth={gt_metrics[k]:.6f}")
+
+    if not args.no_plot:
+        plotting.plot_predictions(
+            X_test, Y_test, np.asarray(mean), np.asarray(var), X_train, Y_train,
+            save_plot=True, output_dir=args.output_dir,
+            config={"encoding": args.encoding, "kernel": args.kernel_type,
+                    "qubits": args.num_qubits, "layers": args.num_layers},
+            nlpd_info={"nlpd": test_metrics.get("nlpd", float("nan"))},
+        )
+        plotting.plot_convergence(res.nll_history, res.cv_history,
+                                  res.error_history or None,
+                                  save_plot=True, output_dir=args.output_dir)
+
+    summary = {
+        "config": vars(args),
+        "iterations": res.iterations,
+        "converged_by": res.converged_by,
+        "total_time_s": res.total_time,
+        "cv_best_nlpd": res.cv_best,
+        "final_z": np.asarray(res.z).tolist(),
+        "best_cv_z": (np.asarray(res.z_best_cv).tolist() if res.z_best_cv is not None else None),
+        "test_metrics": {k: v for k, v in test_metrics.items() if isinstance(v, (int, float))},
+        "train_metrics": {k: v for k, v in train_metrics.items() if isinstance(v, (int, float))},
+        "gt_metrics": ({k: v for k, v in gt_metrics.items() if isinstance(v, (int, float))}
+                       if gt_metrics else None),
+        "gt_error_best": res.error_best if ground_truth_params is not None else None,
+        "nll_history": res.nll_history,
+        "cv_history": [
+            {k: (v.tolist() if isinstance(v, np.ndarray) else v) for k, v in h.items()}
+            for h in res.cv_history
+        ],
+    }
+    if args.metrics_json:
+        os.makedirs(os.path.dirname(args.metrics_json) or ".", exist_ok=True)
+        with open(args.metrics_json, "w") as f:
+            json.dump(summary, f, indent=2, default=float)
+        log(f"Metrics written to {args.metrics_json}")
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Data partitioning across agents. Twin of main.py:524-682 with identical
+RNG/threshold semantics: regional (1D sort-split / regular grid / k-d
+bisection fallback), random (seeded permutation), sequential, plus per-agent
+percentage subsampling. Host-side numpy (runs once before training)."""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+
+def _kd_bisect_numpy(indices: np.ndarray, pts: np.ndarray, target_cells: int):
+    """Median bisection along the longest bounding-box side of the largest
+    cell until target_cells cells exist (main.py:524-553)."""
+    cells = [indices]
+    while len(cells) < target_cells:
+        big_idx = max(range(len(cells)), key=lambda i: len(cells[i]))
+        big_cell = cells.pop(big_idx)
+        cell_pts = pts[big_cell]
+        ranges = cell_pts.max(axis=0) - cell_pts.min(axis=0)
+        split_dim = int(np.argmax(ranges))
+        median_val = np.median(cell_pts[:, split_dim])
+        left_mask = cell_pts[:, split_dim] <= median_val
+        if left_mask.all() or (~left_mask).all():
+            median_val = cell_pts[:, split_dim].mean()
+            left_mask = cell_pts[:, split_dim] <= median_val
+        cells.insert(big_idx, big_cell[left_mask])
+        cells.append(big_cell[~left_mask])
+    return cells
+
+
+def _regular_grid_split_numpy(X: np.ndarray, n_agents: int, agent_id: int):
+    """Boolean mask for one agent's regular-grid cell; (None, False) when
+    n_agents is not a perfect d-th power (main.py:555-583)."""
+    N, d = X.shape
+    cells_per_dim = round(n_agents ** (1 / d))
+    if cells_per_dim**d != n_agents:
+        return None, False
+    digits = []
+    r = agent_id
+    for _ in range(d):
+        digits.append(r % cells_per_dim)
+        r //= cells_per_dim
+    digits = digits[::-1]
+    mask = np.ones(N, dtype=bool)
+    for j, ij in enumerate(digits):
+        low, high = X[:, j].min(), X[:, j].max()
+        edges = np.linspace(low, high, cells_per_dim + 1)
+        mask &= (X[:, j] >= edges[ij]) & (X[:, j] <= edges[ij + 1])
+    return mask, True
+
+
+def sample_agent_data_percentage(X_agent, Y_agent, percentage, random_seed: int = 42):
+    """Seeded random subset, at least 1 sample (main.py:585-610)."""
+    if percentage <= 0.0 or percentage > 1.0:
+        raise ValueError(f"Percentage must be between 0.0 and 1.0, got {percentage}")
+    n = X_agent.shape[0]
+    n_to_sample = max(1, int(n * percentage))
+    np.random.seed(random_seed)
+    idx = np.random.choice(n, size=n_to_sample, replace=False)
+    return X_agent[idx], Y_agent[idx]
+
+
+def split_data_numpy(
+    X: np.ndarray,
+    Y: np.ndarray,
+    n_agents: int,
+    partition_method: str = "regional",
+    data_percentage: float = 1.0,
+    random_seed: int = 42,
+) -> List[Tuple[np.ndarray, np.ndarray]]:
+    """Split data among agents (main.py:612-682)."""
+    n_samples = X.shape[0]
+    input_dim = X.shape[1] if X.ndim > 1 else 1
+
+    if partition_method == "regional":
+        if input_dim == 1:
+            sorted_indices = np.argsort(X[:, 0])
+            splits = np.array_split(sorted_indices, n_agents)
+        else:
+            splits = []
+            for agent_id in range(n_agents):
+                mask, success = _regular_grid_split_numpy(X, n_agents, agent_id)
+                if success:
+                    splits.append(np.where(mask)[0])
+                else:
+                    splits = _kd_bisect_numpy(np.arange(n_samples), X, n_agents)
+                    break
+    elif partition_method == "random":
+        np.random.seed(random_seed)
+        indices = np.random.permutation(n_samples)
+        splits = np.array_split(indices, n_agents)
+    elif partition_method == "sequential":
+        splits = np.array_split(np.arange(n_samples), n_agents)
+    else:
+        raise ValueError(
+            f"Unknown partition method: {partition_method}. "
+            "Choose from: 'regional', 'random', 'sequential'"
+        )
+
+    agent_data = []
+    for split_indices in splits:
+        X_agent, Y_agent = X[split_indices], Y[split_indices]
+        if data_percentage < 1.0:
+            X_agent, Y_agent = sample_agent_data_percentage(
+                X_agent, Y_agent, data_percentage, random_seed
+            )
+        agent_data.append((X_agent, Y_agent))
+    return agent_data

@@ -1,0 +1,309 @@
+"""ADMM training orchestrator — twin of the reference's ``main()`` loop
+(main.py:2403-2784) on top of the jitted mesh step.
+
+Host responsibilities only: convergence bookkeeping, CV-based model selection
+with patience, ground-truth tracking, metrics history, checkpointing. All
+device work (consensus z-update, 2P+1 shifted Grams, NLL gradients, theta/psi
+updates, per-iteration CV) is compiled XLA.
+
+Stopping rules (main.py:2767-2784): consensus ``all(||z - theta_i||_2 < tol)``
+(Euclidean norm — a reference quirk, NOT the Riemannian distance), CV patience
+exhaustion, or max_iter; on the latter two the best-CV z is restored.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import manifold as M
+from .models.gp.cv import k_fold_cross_validation_consensus
+from .models.kernels.quantum_kernel import QuantumKernelSpec
+from .parallel.consensus import (
+    AgentBatch,
+    agents_mesh,
+    make_admm_step,
+    make_agent_batch,
+    shard_batch_to_mesh,
+)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    rho: float = 100.0
+    L: float = 100.0
+    noise_std: float = 0.1
+    max_iter: int = 100
+    tolerance: float = 1e-6
+    shift_value: float = float(np.pi / 8)
+    cv_folds: int = 5
+    cv_patience: int = 50
+    seed: int = 42
+    parity_round: bool = True       # 4-decimal quantization (reference quirk)
+    compute_cond: bool = True       # per-iteration condition numbers (eigvalsh)
+    gp_dtype: str = "float64"       # GP linalg dtype ("float32" for raw TPU speed)
+    psd_fallback: bool = True       # compile the eigh-pinv fallback branch
+    run_cv: bool = True             # per-iteration k-fold CV model selection
+    n_mesh_devices: Optional[int] = None  # None = all local devices
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 10
+    verbose: bool = True
+
+
+@dataclasses.dataclass
+class TrainResult:
+    z: np.ndarray
+    z_best_cv: Optional[np.ndarray]
+    cv_best: float
+    theta: np.ndarray
+    psi: np.ndarray
+    iterations: int
+    converged_by: str
+    nll_history: List[Dict]
+    cv_history: List[Dict]
+    error_history: List[float]
+    z_best_gt: Optional[np.ndarray]
+    error_best: float
+    total_time: float
+
+
+def init_admm_state(n_agents: int, num_parameters: int, seed: int, rho: float,
+                    parity_round: bool = True):
+    """theta, psi ~ U(0,1) rounded 4dp; z = circular mean (main.py:2403-2461).
+
+    Uses numpy's legacy global RNG exactly as the reference does after
+    ``np.random.seed(args.seed)`` so fixed seeds reproduce its initial state.
+    """
+    np.random.seed(seed)
+    theta = np.round(np.random.rand(n_agents, num_parameters), 4)
+    psi = np.round(np.random.rand(n_agents, num_parameters), 4)
+    z = M.np_circular_mean(theta + psi / rho)
+    if parity_round:
+        z = np.round(z, 4)
+    return theta, psi, z
+
+
+def save_checkpoint(path: str, iteration: int, theta, psi, z, cv_best, z_best_cv,
+                    patience_counter: int, extra: Optional[Dict] = None):
+    """Checkpoint/resume — a capability the reference lacks (SURVEY.md §5.4)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(
+        path,
+        iteration=iteration,
+        theta=np.asarray(theta),
+        psi=np.asarray(psi),
+        z=np.asarray(z),
+        cv_best=cv_best,
+        z_best_cv=(np.asarray(z_best_cv) if z_best_cv is not None else np.zeros(0)),
+        patience_counter=patience_counter,
+        extra=json.dumps(extra or {}),
+    )
+
+
+def load_checkpoint(path: str):
+    d = np.load(path, allow_pickle=False)
+    z_best_cv = d["z_best_cv"] if d["z_best_cv"].size else None
+    return {
+        "iteration": int(d["iteration"]),
+        "theta": d["theta"],
+        "psi": d["psi"],
+        "z": d["z"],
+        "cv_best": float(d["cv_best"]),
+        "z_best_cv": z_best_cv,
+        "patience_counter": int(d["patience_counter"]),
+        "extra": json.loads(str(d["extra"])),
+    }
+
+
+def train(
+    spec: QuantumKernelSpec,
+    agent_data_splits: Sequence[Tuple[np.ndarray, np.ndarray]],
+    X_train: np.ndarray,
+    Y_train: np.ndarray,
+    cfg: TrainConfig,
+    ground_truth_params: Optional[np.ndarray] = None,
+    resume_from: Optional[str] = None,
+) -> TrainResult:
+    """Run the distributed Riemannian-ADMM optimization to convergence."""
+    n_agents = len(agent_data_splits)
+    P = spec.num_parameters
+    log = print if cfg.verbose else (lambda *a, **k: None)
+
+    # --- mesh + data residency -------------------------------------------
+    devs = jax.devices()
+    n_dev = cfg.n_mesh_devices or len(devs)
+    n_dev = max(1, min(n_dev, n_agents, len(devs)))
+    while n_agents % n_dev != 0:  # agent axis must divide evenly
+        n_dev -= 1
+    mesh = agents_mesh(n_dev) if n_dev > 1 else None
+
+    batch = make_agent_batch(agent_data_splits)
+    step = make_admm_step(
+        spec, mesh,
+        rho=cfg.rho, L=cfg.L, noise_std=cfg.noise_std,
+        shift_value=cfg.shift_value, parity_round=cfg.parity_round,
+        compute_cond=cfg.compute_cond,
+        gp_dtype=cfg.gp_dtype, psd_fallback=cfg.psd_fallback,
+    )
+
+    # --- state ------------------------------------------------------------
+    if resume_from:
+        ck = load_checkpoint(resume_from)
+        theta, psi, z = ck["theta"], ck["psi"], ck["z"]
+        start_iter = ck["iteration"]
+        cv_best, z_best_cv = ck["cv_best"], ck["z_best_cv"]
+        patience_counter = ck["patience_counter"]
+        log(f"Resumed from {resume_from} at iteration {start_iter}")
+    else:
+        theta, psi, z = init_admm_state(n_agents, P, cfg.seed, cfg.rho, cfg.parity_round)
+        start_iter = 0
+        cv_best, z_best_cv, patience_counter = float("inf"), None, 0
+
+    theta = jnp.asarray(theta, jnp.float64)
+    psi = jnp.asarray(psi, jnp.float64)
+    if mesh is not None:
+        batch, theta, psi = shard_batch_to_mesh(batch, theta, psi, mesh)
+
+    nll_history: List[Dict] = []
+    cv_history: List[Dict] = []
+    error_history: List[float] = []
+    z_best_gt, error_best = None, float("inf")
+    converged_by = "max_iter"
+
+    it = start_iter
+    t0 = time.time()
+    while True:
+        it += 1
+        it_start = time.time()
+        z_old = np.asarray(z)
+
+        out = step(theta, psi, batch)
+        theta, psi = out.theta, out.psi
+        z = np.asarray(out.z)
+
+        nll = np.asarray(out.nll)
+        conds = np.asarray(out.condition_number)
+        valid = nll[np.isfinite(nll)]
+        nll_history.append({
+            "iteration": it,
+            "agent_losses": nll.tolist(),
+            "condition_numbers": conds.tolist(),
+            "nll_components": [
+                {
+                    "log_det_term": float(out.log_det_term[i]),
+                    "quadratic_term": float(out.quadratic_term[i]),
+                    "constant_term": float(out.constant_term[i]),
+                    "total": float(nll[i]),
+                }
+                for i in range(n_agents)
+            ],
+            "total_nll": float(valid.sum()) if valid.size else float("inf"),
+            "avg_nll": float(valid.mean()) if valid.size else float("inf"),
+            "min_nll": float(valid.min()) if valid.size else float("inf"),
+            "max_nll": float(valid.max()) if valid.size else float("inf"),
+        })
+
+        # --- per-iteration CV model selection (main.py:2645-2716) ---------
+        if cfg.run_cv:
+            try:
+                cv = k_fold_cross_validation_consensus(
+                    spec, X_train, Y_train, z, cfg.noise_std,
+                    k_folds=cfg.cv_folds,
+                    random_seed=cfg.seed + it,  # per-iteration seed (main.py:2665)
+                )
+                cv_score = cv["mean_nlpd"]
+                if cv_score < cv_best:
+                    cv_best = cv_score
+                    z_best_cv = z.copy()
+                    patience_counter = 0
+                else:
+                    patience_counter += 1
+                cv_history.append({
+                    "iteration": it,
+                    "consensus_cv_score": cv_score,
+                    "cv_score_std": cv["std_nlpd"],
+                    "cv_r2": cv["mean_r2"],
+                    "valid_folds": cv["valid_folds"],
+                    "total_folds": cv["total_folds"],
+                    "consensus_params": z.copy(),
+                })
+            except Exception as e:  # fold machinery failure -> patience tick
+                log(f"  CV evaluation failed: {e}")
+                patience_counter += 1
+                cv_history.append({
+                    "iteration": it,
+                    "consensus_cv_score": float("inf"),
+                    "cv_score_std": float("inf"),
+                    "cv_r2": -float("inf"),
+                    "valid_folds": 0,
+                    "total_folds": cfg.cv_folds,
+                    "consensus_params": z.copy(),
+                })
+
+        # --- convergence metrics (main.py:2718-2726) ----------------------
+        theta_h = np.asarray(theta)
+        theta_z_norms = np.linalg.norm(z - theta_h, axis=1)  # Euclidean (quirk)
+        max_norm = float(theta_z_norms.max())
+        z_change = float(np.linalg.norm(z - z_old))
+
+        if ground_truth_params is not None:
+            param_error = M.np_distance(z, ground_truth_params)
+            error_history.append(float(np.round(param_error, 4)))
+            if param_error < error_best:
+                error_best = param_error
+                z_best_gt = z.copy()
+
+        it_time = time.time() - it_start
+        cvs = cv_history[-1]["consensus_cv_score"] if cv_history else float("nan")
+        log(
+            f"iter {it:4d}  nll_sum={nll_history[-1]['total_nll']:.4f}  "
+            f"cv_nlpd={cvs:.4f}  max||z-th||={max_norm:.6f}  "
+            f"dz={z_change:.6f}  {it_time:.3f}s"
+        )
+
+        if cfg.checkpoint_dir and it % cfg.checkpoint_every == 0:
+            save_checkpoint(
+                os.path.join(cfg.checkpoint_dir, f"ckpt_{it:05d}.npz"),
+                it, theta_h, np.asarray(psi), z, cv_best, z_best_cv, patience_counter,
+            )
+
+        # --- stopping (main.py:2767-2784) ---------------------------------
+        if np.all(theta_z_norms < cfg.tolerance):
+            converged_by = "consensus"
+            break
+        if cfg.run_cv and patience_counter >= cfg.cv_patience:
+            converged_by = "cv_patience"
+            z = z_best_cv.copy()
+            break
+        if it >= cfg.max_iter:
+            converged_by = "max_iter"
+            if z_best_cv is not None:
+                z = z_best_cv.copy()
+            break
+
+    total_time = time.time() - t0
+    log(f"ADMM done ({converged_by}) after {it} iterations in {total_time:.2f}s "
+        f"({total_time / max(it - start_iter, 1):.3f}s/iter)")
+
+    return TrainResult(
+        z=np.asarray(z),
+        z_best_cv=(np.asarray(z_best_cv) if z_best_cv is not None else None),
+        cv_best=cv_best,
+        theta=np.asarray(theta),
+        psi=np.asarray(psi),
+        iterations=it,
+        converged_by=converged_by,
+        nll_history=nll_history,
+        cv_history=cv_history,
+        error_history=error_history,
+        z_best_gt=(np.asarray(z_best_gt) if z_best_gt is not None else None),
+        error_best=error_best,
+        total_time=total_time,
+    )

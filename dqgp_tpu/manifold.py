@@ -112,6 +112,25 @@ def round4(x: jax.Array) -> jax.Array:
     return jnp.round(x, 4)
 
 
+# Host-side numpy twins (driver bookkeeping; avoids per-primitive dispatch on
+# remote-compile TPU backends for tiny one-off computations).
+
+
+def np_circular_mean(angles: np.ndarray, period: float = PERIOD) -> np.ndarray:
+    phase = 2.0 * np.pi * np.asarray(angles) / period
+    return np.mod(
+        np.arctan2(np.sum(np.sin(phase), axis=0), np.sum(np.cos(phase), axis=0))
+        * period / (2.0 * np.pi),
+        period,
+    )
+
+
+def np_distance(x: np.ndarray, y: np.ndarray, period: float = PERIOD) -> float:
+    diff = np.asarray(x) - np.asarray(y)
+    wrapped = np.mod(diff + period / 2.0, period) - period / 2.0
+    return float(np.linalg.norm(wrapped))
+
+
 # ---------------------------------------------------------------------------
 # ADMM algebra (reference: riemannian_optimizer.py:285-399)
 # ---------------------------------------------------------------------------

@@ -55,6 +55,7 @@ def masked_nll_and_grad(
     mask: jax.Array,
     noise_std: float,
     compute_cond: bool = True,
+    fallback: bool = True,
 ) -> NLLResult:
     """NLL, its three components, and d(NLL)/dtheta for one (padded) agent.
 
@@ -67,7 +68,7 @@ def masked_nll_and_grad(
     Km = masked_identity_pad(K, mask)
     C = Km + (noise_std**2) * jnp.diag(mask)  # sigma^2 only on real rows
 
-    res = solve_psd_with_fallback(C, y)
+    res = solve_psd_with_fallback(C, y, fallback=fallback)
     alpha = res.C_inv_y
 
     # Gradient: 0.5 * sum((C^{-1} - alpha alpha^T) ∘ dK_p^T)
@@ -131,15 +132,18 @@ def gp_posterior_from_grams(
     return mean, var, res.chol_ok
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("noise_std", "jitter"))
 def predict_quantum_gp(
     spec: QuantumKernelSpec,
     X_train: jax.Array,
     Y_train: jax.Array,
     X_test: jax.Array,
     theta: jax.Array,
-    noise_std: float,
+    noise_std: float = 0.1,
     jitter: float = 1e-6,
-    dtype=jnp.float64,
 ) -> Tuple[jax.Array, jax.Array]:
     """End-to-end posterior predict (mean, var) — main.py:1364-1488 twin.
 
@@ -147,8 +151,11 @@ def predict_quantum_gp(
     materialized (only its diagonal is needed for the predictive variance —
     the reference computes the full K_test_test, main.py:1429-1431).
     """
-    fdtype = jnp.complex128 if spec.kernel_type == "fidelity" else dtype
-    if not jax.config.jax_enable_x64:
+    if jax.config.jax_enable_x64:
+        dtype = jnp.float64
+        fdtype = jnp.complex128 if spec.kernel_type == "fidelity" else dtype
+    else:
+        dtype = jnp.float32
         fdtype = jnp.complex64 if spec.kernel_type == "fidelity" else jnp.float32
     F_tr = kernel_features(spec, X_train, theta).astype(fdtype)
     F_te = kernel_features(spec, X_test, theta).astype(fdtype)

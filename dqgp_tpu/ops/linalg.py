@@ -27,12 +27,17 @@ class SolveResult(NamedTuple):
     L: jax.Array            # Cholesky factor (garbage if chol_ok is False)
 
 
-def solve_psd_with_fallback(C: jax.Array, y: jax.Array) -> SolveResult:
+def solve_psd_with_fallback(C: jax.Array, y: jax.Array, fallback: bool = True) -> SolveResult:
     """C^{-1}, C^{-1} y and logdet(C) via Cholesky, eigh-pinv on failure.
 
     Mirrors agent_riemannian.py:414-428 + the slogdet guard at :442-444 (the
     LU middle step is collapsed into the pinv branch: for any invertible C
     they agree to rounding; for singular C the reference also lands on pinv).
+
+    ``fallback=False`` skips compiling the eigh branch entirely (a large
+    compile-time cost on TPU); a failed Cholesky then yields non-finite
+    outputs, which callers surface as inf NLL / failed folds — the same
+    observable outcome as the reference's exception paths.
     """
     n = C.shape[-1]
     eye = jnp.eye(n, dtype=C.dtype)
@@ -61,15 +66,24 @@ def solve_psd_with_fallback(C: jax.Array, y: jax.Array) -> SolveResult:
         logdet = jnp.sum(jnp.log(jnp.abs(w) + 1e-8))
         return C_inv, C_inv_y, logdet
 
-    C_inv, C_inv_y, logdet = lax.cond(chol_ok, chol_branch, pinv_branch, None)
+    if fallback:
+        C_inv, C_inv_y, logdet = lax.cond(chol_ok, chol_branch, pinv_branch, None)
+    else:
+        nan = jnp.asarray(jnp.nan, C.dtype)
+        C_inv, C_inv_y, logdet = chol_branch(None)
+        C_inv = jnp.where(chol_ok, C_inv, nan)
+        C_inv_y = jnp.where(chol_ok, C_inv_y, nan)
+        logdet = jnp.where(chol_ok, logdet, nan)
     return SolveResult(C_inv, C_inv_y, logdet, chol_ok, L_safe)
 
 
 def condition_number(C: jax.Array) -> jax.Array:
-    """2-norm condition number (SVD), as np.linalg.cond in the reference
-    (agent_riemannian.py:411, main.py:1441)."""
-    s = jnp.linalg.svd(C, compute_uv=False)
-    return s[..., 0] / s[..., -1]
+    """2-norm condition number. The reference uses np.linalg.cond (SVD;
+    agent_riemannian.py:411, main.py:1441); for the symmetric Grams it is
+    applied to, |eigenvalues| == singular values, and eigvalsh is far cheaper
+    to compile and run on TPU than SVD."""
+    w = jnp.abs(jnp.linalg.eigvalsh(C))
+    return jnp.max(w, axis=-1) / jnp.min(w, axis=-1)
 
 
 def masked_identity_pad(K: jax.Array, mask: jax.Array) -> jax.Array:

@@ -1,0 +1,168 @@
+"""Data layer tests: partitioning semantics, synthetic generators, HGT
+round-trip, real-world loader cleaning rules."""
+
+import os
+
+import numpy as np
+import pytest
+
+from dqgp_tpu.data import (
+    generate_data_numpy,
+    generate_quantum_gp_data,
+    load_real_world_dataset,
+    load_srtm_elevation_dataset,
+    read_hgt_file,
+    save_quantum_dataset,
+    split_data_numpy,
+)
+from dqgp_tpu.models.circuits import build_circuit
+from dqgp_tpu.models.kernels import QuantumKernelSpec
+
+
+def test_split_regional_1d_sorted():
+    X = np.random.RandomState(0).rand(20, 1)
+    Y = np.arange(20.0)
+    splits = split_data_numpy(X, Y, 4, "regional")
+    assert len(splits) == 4
+    # 1D regional = sorted spatial blocks
+    maxes = [s[0].max() for s in splits]
+    mins = [s[0].min() for s in splits]
+    for i in range(3):
+        assert maxes[i] <= mins[i + 1]
+    assert sum(len(s[0]) for s in splits) == 20
+
+
+def test_split_regional_grid_2d():
+    rng = np.random.RandomState(1)
+    X = rng.rand(100, 2)
+    Y = rng.rand(100)
+    splits = split_data_numpy(X, Y, 4, "regional")  # 4 = 2^2, perfect square
+    assert len(splits) == 4
+    # grid cells share boundary points, so total can exceed N slightly
+    assert sum(len(s[0]) for s in splits) >= 100
+
+
+def test_split_regional_kd_fallback():
+    rng = np.random.RandomState(2)
+    X = rng.rand(90, 2)
+    Y = rng.rand(90)
+    splits = split_data_numpy(X, Y, 3, "regional")  # 3 not a perfect square -> k-d
+    assert len(splits) == 3
+    assert sum(len(s[0]) for s in splits) == 90
+
+
+def test_split_random_seeded_and_sequential():
+    rng = np.random.RandomState(3)
+    X, Y = rng.rand(17, 2), rng.rand(17)
+    a = split_data_numpy(X, Y, 4, "random", random_seed=7)
+    b = split_data_numpy(X, Y, 4, "random", random_seed=7)
+    for (xa, _), (xb, _) in zip(a, b):
+        np.testing.assert_array_equal(xa, xb)
+    seq = split_data_numpy(X, Y, 4, "sequential")
+    np.testing.assert_array_equal(seq[0][0], X[:5])
+
+
+def test_split_percentage():
+    rng = np.random.RandomState(4)
+    X, Y = rng.rand(40, 2), rng.rand(40)
+    splits = split_data_numpy(X, Y, 4, "sequential", data_percentage=0.5)
+    assert all(len(s[0]) == 5 for s in splits)
+
+
+def test_classical_generators_shapes_and_seeds():
+    for d in (1, 2, 3):
+        X, Y = generate_data_numpy(50, d, 0.1, data_seed=11)
+        X2, Y2 = generate_data_numpy(50, d, 0.1, data_seed=11)
+        assert X.shape == (50, d)
+        np.testing.assert_array_equal(X, X2)
+        np.testing.assert_array_equal(Y, Y2)
+    # 2D Goldstein-Price spot check at a known point (noise-free via seed diff)
+    X, Y = generate_data_numpy(5, 2, 0.0, data_seed=1)
+    x1, x2 = X[:, 0], X[:, 1]
+    f1 = 1 + (x1 + x2 + 1) ** 2 * (19 - 14 * x1 + 3 * x1**2 - 14 * x2 + 6 * x1 * x2 + 3 * x2**2)
+    f2 = 30 + (2 * x1 - 3 * x2) ** 2 * (18 - 32 * x1 + 12 * x1**2 + 48 * x2 - 36 * x1 * x2 + 27 * x2**2)
+    np.testing.assert_allclose(Y, (np.log(f1 * f2) - 8.693) / 2.427, atol=1e-12)
+
+
+def test_quantum_gp_generation():
+    spec = QuantumKernelSpec(
+        circuit=build_circuit("hubregtsen", 2, 2, 1), kernel_type="projected"
+    )
+    X, Y, gt = generate_quantum_gp_data(30, 2, spec, data_seed=42, param_seed=42)
+    assert X.shape == (30, 2) and Y.shape == (30,)
+    assert gt.shape == (spec.num_parameters,)
+    # ground truth params pinned by seed 42, U(0, pi) rounded to 4dp
+    np.random.seed(42)
+    want = np.round(np.random.uniform(0, np.pi, spec.num_parameters), 4)
+    np.testing.assert_array_equal(gt, want)
+    # deterministic given both seeds
+    X2, Y2, gt2 = generate_quantum_gp_data(30, 2, spec, data_seed=42, param_seed=42)
+    np.testing.assert_array_equal(X, X2)
+    np.testing.assert_array_equal(Y, Y2)
+
+
+def test_chebyshev_clipping_in_generation():
+    spec = QuantumKernelSpec(
+        circuit=build_circuit("chebyshev", 2, 1, 1), kernel_type="projected"
+    )
+    X, Y, _ = generate_quantum_gp_data(20, 1, spec, data_range=(-2, 2), data_seed=1)
+    assert X.min() >= -0.99 and X.max() <= 0.99
+
+
+def test_save_dataset(tmp_path):
+    X = np.random.rand(10, 2)
+    Y = np.random.rand(10)
+    fn = save_quantum_dataset(X, Y, "t", output_dir=str(tmp_path))
+    loaded = np.loadtxt(fn, delimiter=",", skiprows=1)
+    np.testing.assert_allclose(loaded[:, :2], X)
+    np.testing.assert_allclose(loaded[:, 2], Y)
+
+
+def _write_fake_hgt(path, n=1201, seed=0):
+    rng = np.random.RandomState(seed)
+    data = rng.randint(-100, 2500, size=(n, n)).astype(">i2")
+    # sprinkle no-data values
+    data[0, :50] = -32768
+    data.tofile(path)
+    return data
+
+
+def test_read_hgt_roundtrip(tmp_path):
+    p = str(tmp_path / "N17E073.hgt")
+    want = _write_fake_hgt(p)
+    got = read_hgt_file(p)
+    assert got.shape == (1201, 1201)
+    np.testing.assert_array_equal(got, want.astype(np.float64))
+
+
+def test_srtm_loader_cleaning_and_normalization(tmp_path):
+    d = tmp_path / "srtm_data"
+    d.mkdir()
+    _write_fake_hgt(str(d / "N17E073.hgt"))
+    X, Y = load_srtm_elevation_dataset(
+        region="maharashtra", max_samples=500, subsample_factor=4,
+        normalize=True, random_state=42, data_dir=str(d),
+    )
+    assert X.shape[0] == 500 and X.shape[1] == 2
+    # MinMax to (-1, 1); StandardScaler on Y
+    assert np.isclose(X.min(), -1.0) and np.isclose(X.max(), 1.0)
+    assert abs(Y.mean()) < 1e-8 and np.isclose(Y.std(), 1.0)
+    # no-data and negatives and >2000m removed before sampling
+    X2, Y2 = load_srtm_elevation_dataset(
+        region="maharashtra", max_samples=10**9, subsample_factor=1,
+        normalize=False, data_dir=str(d),
+    )
+    assert Y2.min() >= 0 and Y2.max() <= 2000
+
+
+def test_sst_and_robot_loaders():
+    X, Y = load_real_world_dataset("sst", max_samples=200, normalize=True,
+                                   random_state=1, subsample_factor=20)
+    assert X.shape == (200, 2)
+    X, Y = load_real_world_dataset("robot", max_samples=300, normalize=False,
+                                   random_state=1)
+    assert X.shape == (300, 3)
+    assert Y.min() >= 0.0  # clamped displacement
+    X4, _ = load_real_world_dataset("push", max_samples=50, include_force=True,
+                                    random_state=1)
+    assert X4.shape[1] == 4

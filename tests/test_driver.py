@@ -1,0 +1,113 @@
+"""End-to-end: synthetic quantum-GP data -> distributed ADMM training ->
+prediction -> metrics. Mirrors the reference's inline self-validation
+(SURVEY.md §4): ground-truth recovery tracking and prediction quality."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dqgp_tpu.data import generate_quantum_gp_data, split_data_numpy
+from dqgp_tpu.driver import TrainConfig, init_admm_state, load_checkpoint, save_checkpoint, train
+from dqgp_tpu.models.circuits import build_circuit
+from dqgp_tpu.models.gp import evaluate_predictions, predict_quantum_gp
+from dqgp_tpu.models.kernels import QuantumKernelSpec
+
+
+def _make_problem(n=48, seed=42):
+    spec = QuantumKernelSpec(
+        circuit=build_circuit("hubregtsen", 2, 2, 1),
+        kernel_type="projected", outer_kernel="gaussian",
+    )
+    X, Y, gt = generate_quantum_gp_data(
+        n, 2, spec, data_range=(-0.95, 0.95), noise_std=0.05,
+        data_seed=seed, param_seed=seed,
+    )
+    return spec, X, Y, gt
+
+
+def test_end_to_end_training_and_prediction(tmp_path):
+    spec, X, Y, gt = _make_problem()
+    n_train = 40
+    Xtr, Ytr, Xte, Yte = X[:n_train], Y[:n_train], X[n_train:], Y[n_train:]
+    splits = split_data_numpy(Xtr, Ytr, 4, "random", random_seed=42)
+
+    cfg = TrainConfig(
+        rho=100.0, L=100.0, noise_std=0.05, max_iter=6, cv_folds=3,
+        cv_patience=50, seed=42, compute_cond=False, verbose=False,
+        checkpoint_dir=str(tmp_path), checkpoint_every=3,
+    )
+    res = train(spec, splits, Xtr, Ytr, cfg, ground_truth_params=gt)
+
+    assert res.iterations == 6
+    assert res.z.shape == (spec.num_parameters,)
+    assert len(res.nll_history) == 6
+    assert len(res.cv_history) == 6
+    assert res.z_best_cv is not None and np.isfinite(res.cv_best)
+    assert len(res.error_history) == 6  # GT tracking active
+
+    # NLL should be finite and improving-or-stable
+    assert np.isfinite(res.nll_history[-1]["total_nll"])
+
+    # prediction with the selected parameters
+    mean, var = predict_quantum_gp(
+        spec, jnp.asarray(Xtr), jnp.asarray(Ytr), jnp.asarray(Xte),
+        jnp.asarray(res.z), noise_std=0.05,
+    )
+    m = evaluate_predictions(Yte, np.asarray(mean), np.asarray(var))
+    assert np.isfinite(m["nlpd"]) and np.isfinite(m["r2"])
+
+    # checkpoint written and loadable
+    ck = load_checkpoint(str(tmp_path / "ckpt_00003.npz"))
+    assert ck["iteration"] == 3
+    assert ck["theta"].shape == (4, spec.num_parameters)
+
+
+def test_resume_matches_uninterrupted_run(tmp_path):
+    """Checkpoint/resume must reproduce the uninterrupted trajectory
+    (CV disabled: its per-iteration seed depends only on iteration count,
+    which resume preserves; this isolates the ADMM state)."""
+    spec, X, Y, gt = _make_problem(n=32)
+    splits = split_data_numpy(X, Y, 4, "sequential")
+    base = dict(rho=100.0, L=100.0, noise_std=0.05, cv_folds=3, seed=42,
+                compute_cond=False, verbose=False, run_cv=False)
+
+    cfg_full = TrainConfig(max_iter=6, **base)
+    full = train(spec, splits, X, Y, cfg_full)
+
+    cfg_a = TrainConfig(max_iter=3, checkpoint_dir=str(tmp_path), checkpoint_every=3, **base)
+    train(spec, splits, X, Y, cfg_a)
+    cfg_b = TrainConfig(max_iter=6, **base)
+    resumed = train(spec, splits, X, Y, cfg_b,
+                    resume_from=str(tmp_path / "ckpt_00003.npz"))
+
+    np.testing.assert_allclose(resumed.z, full.z, atol=1e-12)
+    np.testing.assert_allclose(resumed.theta, full.theta, atol=1e-12)
+    np.testing.assert_allclose(resumed.psi, full.psi, atol=1e-12)
+
+
+def test_init_state_matches_reference_rng():
+    theta, psi, z = init_admm_state(3, 4, seed=42, rho=100.0)
+    np.random.seed(42)
+    want_theta = np.round(np.random.rand(3, 4), 4)
+    want_psi = np.round(np.random.rand(3, 4), 4)
+    np.testing.assert_array_equal(theta, want_theta)
+    np.testing.assert_array_equal(psi, want_psi)
+    assert z.shape == (4,)
+
+
+def test_ground_truth_recovery_small():
+    """With data generated FROM the model class, ADMM should move z toward
+    the ground truth (relative to the initial error) — the reference's own
+    runtime oracle (main.py:2736-2757)."""
+    spec, X, Y, gt = _make_problem(n=40, seed=7)
+    splits = split_data_numpy(X, Y, 2, "random", random_seed=7)
+    from dqgp_tpu import manifold as M
+
+    theta0, psi0, z0 = init_admm_state(2, spec.num_parameters, 7, 100.0)
+    initial_err = float(M.distance(jnp.asarray(z0), jnp.asarray(gt)))
+
+    cfg = TrainConfig(rho=100.0, L=100.0, noise_std=0.05, max_iter=15,
+                      cv_folds=3, seed=7, compute_cond=False, verbose=False,
+                      run_cv=False)
+    res = train(spec, splits, X, Y, cfg, ground_truth_params=gt)
+    assert res.error_best <= initial_err * 1.05
