@@ -183,7 +183,7 @@ def tpu_iteration_time(spec, splits, warmup=2, iters=10):
     t0 = time.time()
     for _ in range(iters):
         out = step(out.theta, out.psi, batch)
-    jax.block_until_ready(out)
+        jax.block_until_ready(out)  # sync per iteration, like the host loop
     return (time.time() - t0) / iters
 
 

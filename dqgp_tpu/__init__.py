@@ -43,6 +43,11 @@ import jax
 if os.environ.get("DQGP_X64", "1") != "0":
     jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls default to one-pass bf16 for f32 operands; Gram matrices built
+# from nearly-parallel feature vectors then lose PSD-ness (observed: indefinite
+# C -> NaN Cholesky on v5e). GP numerics need true f32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 __version__ = "0.1.0"
 
 from . import manifold  # noqa: E402,F401

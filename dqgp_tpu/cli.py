@@ -99,6 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--apply-outer-kernel-params", action="store_true",
                         help="actually honor --outer-kernel-* values (the reference "
                              "assembles but drops them, SURVEY.md §2.1)")
+    parser.add_argument("--grad-method", choices=["central", "autodiff"],
+                        default="central",
+                        help="kernel-gradient method: 'central' reproduces the "
+                             "reference's h=pi/8 finite difference; 'autodiff' "
+                             "differentiates through the simulator (exact)")
     parser.add_argument("--no-parity-round", action="store_true",
                         help="disable the reference's 4-decimal per-iteration quantization")
     parser.add_argument("--no-cv", action="store_true",
@@ -269,6 +274,7 @@ def main(argv=None):
         cv_patience=args.cv_patience, seed=args.seed,
         parity_round=not args.no_parity_round,
         compute_cond=not args.no_cond,
+        grad_method=args.grad_method,
         run_cv=not args.no_cv,
         n_mesh_devices=args.mesh_devices,
         checkpoint_dir=args.checkpoint_dir,

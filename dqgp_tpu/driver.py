@@ -50,6 +50,7 @@ class TrainConfig:
     compute_cond: bool = True       # per-iteration condition numbers (eigvalsh)
     gp_dtype: str = "float64"       # GP linalg dtype ("float32" for raw TPU speed)
     psd_fallback: bool = True       # compile the eigh-pinv fallback branch
+    grad_method: str = "central"    # "central" (parity) | "autodiff" (exact)
     run_cv: bool = True             # per-iteration k-fold CV model selection
     n_mesh_devices: Optional[int] = None  # None = all local devices
     checkpoint_dir: Optional[str] = None
@@ -151,6 +152,7 @@ def train(
         shift_value=cfg.shift_value, parity_round=cfg.parity_round,
         compute_cond=cfg.compute_cond,
         gp_dtype=cfg.gp_dtype, psd_fallback=cfg.psd_fallback,
+        grad_method=cfg.grad_method,
     )
 
     # --- state ------------------------------------------------------------

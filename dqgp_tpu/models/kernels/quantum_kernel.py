@@ -32,6 +32,7 @@ from ...ops.statevector import (
     batched_states,
     pauli_features,
     pauli_string_expectation,
+    state_from_angles,
 )
 from ...manifold import PERIOD
 from .outer import outer_gram
@@ -84,23 +85,48 @@ def _measurement_selector(spec: QuantumKernelSpec) -> Tuple[str, ...]:
     return tuple(m)
 
 
-def kernel_features(spec: QuantumKernelSpec, X: jax.Array, theta: jax.Array) -> jax.Array:
-    """Per-sample features: complex states for fidelity, Pauli-expectation
-    vectors for projected. Shapes: (N, 2^n) complex64 / (N, D) float32."""
-    states = batched_states(spec.circuit, X, theta)
-    if spec.kernel_type == "fidelity":
-        return states
+def features_from_angles(spec: QuantumKernelSpec, angles: jax.Array) -> jax.Array:
+    """Features from a precomputed (B, G) angle matrix.
 
-    m = _measurement_selector(spec)
+    Dispatches to the fused Pallas circuit kernel on TPU (config.pallas_enabled)
+    or the XLA gate-by-gate engine elsewhere; both are bit-tested against each
+    other. Shapes: (B, 2^n) complex for fidelity, (B, D) float32 for projected.
+    """
+    from ... import config as _config
+    from ...ops.pallas_circuit import (
+        make_pallas_pauli_features_fn,
+        make_pallas_states_fn,
+    )
+
     n = spec.circuit.num_qubits
-    if all(len(s) == 1 for s in m):
-        # single-qubit measurement chars, e.g. "XYZ" -> (N, len(m)*n)
-        full = pauli_features(states, n)  # [X block, Y block, Z block]
+    use_pallas = _config.pallas_enabled(n)
+    m = _measurement_selector(spec) if spec.kernel_type == "projected" else None
+    simple_paulis = m is not None and all(len(s) == 1 for s in m)
+
+    if spec.kernel_type == "projected" and simple_paulis:
+        if use_pallas:
+            full = make_pallas_pauli_features_fn(spec.circuit)(angles)
+        else:
+            full = pauli_features(state_from_angles(spec.circuit, angles), n)
         blocks = {"X": full[:, :n], "Y": full[:, n : 2 * n], "Z": full[:, 2 * n :]}
         return jnp.concatenate([blocks[c] for c in m], axis=-1)
+
+    states = (
+        make_pallas_states_fn(spec.circuit)(angles)
+        if use_pallas
+        else state_from_angles(spec.circuit, angles)
+    )
+    if spec.kernel_type == "fidelity":
+        return states
     # explicit multi-qubit Pauli strings
     cols = [pauli_string_expectation(states, p) for p in m]
     return jnp.stack(cols, axis=-1).astype(jnp.float32)
+
+
+def kernel_features(spec: QuantumKernelSpec, X: jax.Array, theta: jax.Array) -> jax.Array:
+    """Per-sample features: complex states for fidelity, Pauli-expectation
+    vectors for projected. Shapes: (N, 2^n) complex64 / (N, D) float32."""
+    return features_from_angles(spec, angle_matrix(spec.circuit, X, theta))
 
 
 def regularize_gram(K: jax.Array, method: Optional[str]) -> jax.Array:
@@ -193,7 +219,13 @@ def gram_and_shift_grads(
     each rebuild the circuit from scratch.
     """
     thetas = shift_parameter_batch(theta, h, period)          # (2P+1, P)
-    feats = jax.vmap(lambda t: kernel_features(spec, X, t))(thetas)
+    # Angle matrices per shifted theta are cheap elementwise work; the state
+    # preparation for ALL shifts is then ONE flattened batch through the
+    # feature engine (optimal tile utilization for the Pallas kernel).
+    A = jax.vmap(lambda t: angle_matrix(spec.circuit, X, t))(thetas)  # (S, N, G)
+    S, N, G = A.shape
+    flat = features_from_angles(spec, A.reshape(S * N, G))
+    feats = flat.reshape(S, N, flat.shape[-1])
     grams = jax.vmap(lambda f: gram_from_features(spec, f))(feats)
     K = grams[0]
     P = theta.shape[0]

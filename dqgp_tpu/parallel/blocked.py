@@ -1,0 +1,155 @@
+"""Scale-out GP: blocked Gram assembly and a matrix-free CG posterior.
+
+BASELINE config #7 targets n ~ 50k samples at 10-12 qubits — beyond the
+reference's reach (its Gram is a monolithic O(N^2) numpy array and its solve
+a dense LAPACK Cholesky; SURVEY.md §5.7 calls for blocked Gram construction
+as this system's analogue of blockwise/ring attention).
+
+Key observation: per-sample FEATURES are tiny (N x 3n floats — 7 MB at
+N=50k), only the Gram is huge (50k^2 f32 = 10 GB). So:
+
+* features are computed once (batched statevector / Pallas pass);
+* the Gram is never materialized — ``gram_matvec`` streams column blocks of
+  K through the MXU (one outer-kernel block + one matmul per tile);
+* the posterior solve is conjugate gradients on (K + sigma^2 I) with a
+  diagonal (Jacobi) preconditioner, batched over right-hand sides, jittable
+  via ``lax.while_loop``;
+* across a mesh, rows shard over the ``data`` axis: every device keeps the
+  full (tiny) feature matrix and its row shard of the products; the CG dot
+  products psum over the axis.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.gp.metrics import outer_diag
+from ..models.kernels.quantum_kernel import QuantumKernelSpec, gram_from_features
+
+
+def _pad_rows(F: jax.Array, block: int) -> Tuple[jax.Array, int]:
+    n = F.shape[0]
+    n_pad = ((n + block - 1) // block) * block
+    if n_pad != n:
+        F = jnp.pad(F, ((0, n_pad - n),) + ((0, 0),) * (F.ndim - 1))
+    return F, n_pad
+
+
+def gram_matvec(
+    spec: QuantumKernelSpec,
+    F: jax.Array,            # (N, D) features (rows may be zero-padded)
+    v: jax.Array,            # (N, R) right-hand sides
+    row_mask: jax.Array,     # (N,) 1 for real rows
+    block: int = 2048,
+) -> jax.Array:
+    """(K ∘ mask) @ v without materializing K; O(N * block) live memory."""
+    Fp, n_pad = _pad_rows(F, block)
+    mp, _ = _pad_rows(row_mask[:, None], block)
+    vp, _ = _pad_rows(v, block)
+    n_blocks = n_pad // block
+    Fb = Fp.reshape(n_blocks, block, Fp.shape[-1])
+    mb = mp.reshape(n_blocks, block, 1)
+
+    def body(carry, xs):
+        F_j, m_j, v_j = xs
+        # K[:, j_block]: (N, block) — one outer-kernel tile per step
+        K_cols = gram_from_features(spec, Fp, F_j) * (mp * m_j.transpose(1, 0))
+        return carry + K_cols @ v_j, None
+
+    vb = vp.reshape(n_blocks, block, vp.shape[-1])
+    out, _ = jax.lax.scan(body, jnp.zeros((n_pad, v.shape[-1]), v.dtype), (Fb, mb, vb))
+    return out[: F.shape[0]]
+
+
+class CGResult(NamedTuple):
+    x: jax.Array
+    iterations: jax.Array
+    residual_norm: jax.Array
+
+
+def cg_solve(
+    matvec: Callable[[jax.Array], jax.Array],
+    b: jax.Array,            # (N, R)
+    tol: float = 1e-6,
+    maxiter: int = 256,
+    diag_precond: Optional[jax.Array] = None,  # (N,)
+) -> CGResult:
+    """Preconditioned CG, batched over RHS columns (jittable)."""
+    Minv = 1.0 / diag_precond[:, None] if diag_precond is not None else None
+
+    def precond(r):
+        return r * Minv if Minv is not None else r
+
+    b_norm = jnp.linalg.norm(b, axis=0, keepdims=True) + 1e-30
+
+    def cond(state):
+        _, r, _, _, it = state
+        rel = jnp.max(jnp.linalg.norm(r, axis=0, keepdims=True) / b_norm)
+        return jnp.logical_and(it < maxiter, rel > tol)
+
+    def step(state):
+        x, r, z, p, it = state
+        Ap = matvec(p)
+        rz = jnp.sum(r * z, axis=0, keepdims=True)
+        alpha = rz / (jnp.sum(p * Ap, axis=0, keepdims=True) + 1e-30)
+        x = x + alpha * p
+        r_new = r - alpha * Ap
+        z_new = precond(r_new)
+        beta = jnp.sum(r_new * z_new, axis=0, keepdims=True) / (rz + 1e-30)
+        p_new = z_new + beta * p
+        return (x, r_new, z_new, p_new, it + 1)
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = precond(r0)
+    x, r, _, _, it = jax.lax.while_loop(cond, step, (x0, r0, z0, z0, jnp.zeros((), jnp.int32)))
+    return CGResult(x, it, jnp.max(jnp.linalg.norm(r, axis=0) / b_norm[0]))
+
+
+def gp_posterior_large(
+    spec: QuantumKernelSpec,
+    F_train: jax.Array,      # (N, D)
+    y_train: jax.Array,      # (N,)
+    F_test: jax.Array,       # (M, D)
+    noise_std: float,
+    jitter: float = 1e-6,
+    block: int = 2048,
+    cg_tol: float = 1e-6,
+    cg_maxiter: int = 512,
+) -> Tuple[jax.Array, jax.Array, CGResult]:
+    """Posterior mean and variance diagonal at scale, matrix-free.
+
+    mean = K_*^T alpha with alpha from CG on (K + sigma^2 I);
+    var  = k(x,x) - k_*^T (K + sigma^2 I)^{-1} k_* with the k_* solves batched
+    through the same CG (exact GP math — no sparse/inducing approximation;
+    accuracy is set by cg_tol).
+    """
+    n = F_train.shape[0]
+    dtype = y_train.dtype
+    mask = jnp.ones((n,), dtype)
+    sigma2 = noise_std**2 + jitter
+
+    def A(v):
+        return gram_matvec(spec, F_train, v, mask, block) + sigma2 * v
+
+    def k_diag(F):
+        if spec.kernel_type == "fidelity":
+            return jnp.ones((F.shape[0],), dtype)
+        return outer_diag(spec.outer_kernel, F, spec.outer_params).astype(dtype)
+
+    diag = k_diag(F_train) + sigma2
+
+    res = cg_solve(A, y_train[:, None].astype(dtype), cg_tol, cg_maxiter, diag)
+    alpha = res.x[:, 0]
+
+    K_ts = gram_from_features(spec, F_train, F_test).astype(dtype)  # (N, M)
+    mean = K_ts.T @ alpha
+
+    sol = cg_solve(A, K_ts, cg_tol, cg_maxiter, diag)
+    var = k_diag(F_test) - jnp.sum(K_ts * sol.x, axis=0)
+    return mean, jnp.maximum(var, 1e-10), res

@@ -1,0 +1,65 @@
+"""Scale-out path: blocked matvec == dense Gram matvec; CG posterior ==
+dense Cholesky posterior."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dqgp_tpu.models.circuits import build_circuit
+from dqgp_tpu.models.gp.posterior import predict_quantum_gp
+from dqgp_tpu.models.kernels import QuantumKernelSpec
+from dqgp_tpu.models.kernels.quantum_kernel import gram_from_features, kernel_features
+from dqgp_tpu.parallel.blocked import cg_solve, gp_posterior_large, gram_matvec
+
+
+def _setup(kernel_type="projected", N=70, seed=0):
+    spec = QuantumKernelSpec(
+        circuit=build_circuit("hubregtsen", 3, 2, 1),
+        kernel_type=kernel_type, outer_kernel="gaussian",
+    )
+    rng = np.random.RandomState(seed)
+    X = jnp.asarray(rng.uniform(-0.9, 0.9, (N, 2)), jnp.float32)
+    theta = jnp.asarray(rng.uniform(0, np.pi, spec.num_parameters), jnp.float32)
+    F = kernel_features(spec, X, theta)
+    Y = jnp.asarray(np.sin(np.asarray(X)[:, 0]) + 0.05 * rng.randn(N))
+    return spec, X, theta, F, Y
+
+
+@pytest.mark.parametrize("kernel_type", ["projected", "fidelity"])
+def test_blocked_matvec_matches_dense(kernel_type):
+    spec, X, theta, F, Y = _setup(kernel_type)
+    N = F.shape[0]
+    rng = np.random.RandomState(1)
+    v = jnp.asarray(rng.randn(N, 3))
+    mask = jnp.ones((N,), jnp.float64)
+    K = np.asarray(gram_from_features(spec, F, F), np.float64)
+    want = K @ np.asarray(v)
+    got = np.asarray(gram_matvec(spec, F.astype(jnp.complex128 if kernel_type == "fidelity" else jnp.float64), v, mask, block=32))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_cg_solves_spd_system():
+    rng = np.random.RandomState(2)
+    A = rng.randn(40, 12)
+    M = A @ A.T + 40 * np.eye(40)
+    b = rng.randn(40, 2)
+    res = cg_solve(lambda v: jnp.asarray(M) @ v, jnp.asarray(b), tol=1e-10, maxiter=200,
+                   diag_precond=jnp.asarray(np.diag(M)))
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(M, b), rtol=1e-6, atol=1e-8)
+
+
+def test_large_posterior_matches_dense_cholesky():
+    spec, X, theta, F, Y = _setup(N=90)
+    Xte = X[80:]
+    F_tr = F[:80].astype(jnp.float64)
+    F_te = kernel_features(spec, Xte, theta).astype(jnp.float64)
+    mean, var, res = gp_posterior_large(
+        spec, F_tr, Y[:80].astype(jnp.float64), F_te, noise_std=0.1,
+        block=32, cg_tol=1e-10, cg_maxiter=400,
+    )
+    want_mean, want_var = predict_quantum_gp(
+        spec, X[:80], Y[:80], Xte, theta, noise_std=0.1
+    )
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(want_mean), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(want_var), rtol=1e-3, atol=1e-6)
+    assert int(res.iterations) < 400

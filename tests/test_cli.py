@@ -1,0 +1,80 @@
+"""CLI + graft-entry smoke tests (tiny configs, CPU)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_cli_quantum_end_to_end(tmp_path):
+    from dqgp_tpu.cli import main
+
+    mj = str(tmp_path / "m.json")
+    s = main([
+        "--input-dim", "2", "--n-dataset", "40", "--encoding", "hubregtsen",
+        "--kernel-type", "projected", "--num-qubits", "2", "--num-layers", "1",
+        "--outer-kernel", "matern", "--n-agents", "2", "--max-iter", "2",
+        "--cv-folds", "3", "--data-seed", "1", "--no-plot", "--no-cond",
+        "--quiet", "--metrics-json", mj,
+    ])
+    assert s["iterations"] == 2
+    assert np.isfinite(s["test_metrics"]["nlpd"])
+    assert s["gt_metrics"] is not None
+    with open(mj) as f:
+        loaded = json.load(f)
+    assert loaded["cv_best_nlpd"] == s["cv_best_nlpd"]
+
+
+def test_cli_classical_fidelity(tmp_path):
+    from dqgp_tpu.cli import main
+
+    s = main([
+        "--classical-dataset", "--input-dim", "1", "--n-dataset", "30",
+        "--num-qubits", "2", "--num-layers", "1", "--encoding", "yz_cx",
+        "--kernel-type", "fidelity", "--n-agents", "2", "--max-iter", "2",
+        "--cv-folds", "3", "--data-seed", "2", "--no-plot", "--no-cond", "--quiet",
+    ])
+    assert s["gt_metrics"] is None  # no ground truth for classical data
+    assert np.isfinite(s["test_metrics"]["rmse"])
+
+
+def test_cli_dataset_only_and_save(tmp_path):
+    from dqgp_tpu.cli import main
+
+    os.chdir(tmp_path)
+    s = main([
+        "--input-dim", "1", "--n-dataset", "20", "--num-qubits", "2",
+        "--num-layers", "1", "--dataset-only", "--save-dataset",
+        "--dataset-name", "tiny", "--no-plot", "--data-seed", "3", "--quiet",
+    ])
+    assert s is None
+    assert os.path.exists("quantum_datasets/tiny_1d_20.csv")
+
+
+def test_cli_plots_written(tmp_path):
+    from dqgp_tpu.cli import main
+
+    out = str(tmp_path / "res")
+    main([
+        "--input-dim", "1", "--n-dataset", "24", "--num-qubits", "2",
+        "--num-layers", "1", "--n-agents", "2", "--max-iter", "1",
+        "--cv-folds", "3", "--data-seed", "4", "--no-cond", "--quiet",
+        "--output-dir", out,
+    ])
+    for f in ("dataset.png", "agent_distribution.png", "predictions.png", "convergence.png"):
+        assert os.path.exists(os.path.join(out, f)), f
+
+
+def test_graft_entry():
+    import jax
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    res = jax.jit(fn)(*args)
+    jax.block_until_ready(res)
+    assert np.asarray(res[0]).shape == (16,)
+    ge.dryrun_multichip(4)

@@ -1,0 +1,59 @@
+"""Native C++ components: the qsim oracle must agree with the JAX engine on
+every encoding family; the hgt parser must agree with numpy parsing."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dqgp_tpu.models.circuits import ENCODING_TYPES, build_circuit
+from dqgp_tpu.ops import statevector as sv
+from dqgp_tpu.ops import qsim_native
+
+
+needs_native = pytest.mark.skipif(
+    not qsim_native.available(), reason="native toolchain unavailable"
+)
+
+
+@needs_native
+@pytest.mark.parametrize("enc", ENCODING_TYPES)
+def test_cpp_oracle_matches_jax_engine(enc):
+    c = build_circuit(enc, 3, 2, 2)
+    rng = np.random.RandomState(0)
+    X = rng.uniform(-0.9, 0.9, (6, 2))
+    theta = rng.uniform(0, np.pi, c.num_parameters)
+    angles = np.asarray(
+        sv.angle_matrix(c, jnp.asarray(X, jnp.float32), jnp.asarray(theta, jnp.float32)),
+        np.float64,
+    )
+    want = np.asarray(sv.state_from_angles(c, jnp.asarray(angles, jnp.float32)))
+    got = qsim_native.native_states(c, angles)
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+@needs_native
+def test_cpp_pauli_features_match():
+    c = build_circuit("kyriienko", 4, 2, 2)
+    rng = np.random.RandomState(1)
+    X = rng.uniform(-0.9, 0.9, (5, 2))
+    theta = rng.uniform(0, np.pi, c.num_parameters)
+    angles = np.asarray(
+        sv.angle_matrix(c, jnp.asarray(X, jnp.float32), jnp.asarray(theta, jnp.float32)),
+        np.float64,
+    )
+    want = np.asarray(sv.pauli_features(sv.state_from_angles(c, jnp.asarray(angles, jnp.float32)), 4))
+    got = qsim_native.native_pauli_features(c, angles)
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+@needs_native
+def test_native_hgt_matches_numpy(tmp_path):
+    from dqgp_tpu.data.hgt_native import read_hgt
+
+    n = 1201
+    rng = np.random.RandomState(0)
+    data = rng.randint(-32768, 8849, size=(n, n)).astype(">i2")
+    p = str(tmp_path / "t.hgt")
+    data.tofile(p)
+    got = read_hgt(p, n)
+    np.testing.assert_array_equal(got, data.astype(np.float64))
