@@ -121,6 +121,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="write structured run metrics to this JSON file")
     parser.add_argument("--mesh-devices", type=int, default=None,
                         help="number of devices for the agents mesh (default: all)")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="capture a jax.profiler trace of the training loop "
+                             "into this directory (view with TensorBoard/XProf)")
     parser.add_argument("--quiet", action="store_true")
     return parser
 
@@ -281,9 +284,16 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         verbose=not args.quiet,
     )
+    if args.profile_dir:
+        import jax as _jax
+        _jax.profiler.start_trace(args.profile_dir)
     res = train(spec, splits, X_train, Y_train, cfg,
                 ground_truth_params=ground_truth_params,
                 resume_from=args.resume_from)
+    if args.profile_dir:
+        import jax as _jax
+        _jax.profiler.stop_trace()
+        log(f"Profiler trace written to {args.profile_dir}")
 
     hyperparams = res.z_best_cv if res.z_best_cv is not None else res.z
     log(f"Final consensus params: {res.z}")
@@ -305,6 +315,8 @@ def main(argv=None):
                                          "Train", verbose=not args.quiet)
 
     gt_metrics = None
+    gt_comparison = None
+    nll_corr = None
     if ground_truth_params is not None:
         gt_mean, gt_var = predict_quantum_gp(
             spec, jnp.asarray(X_train), jnp.asarray(Y_train), jnp.asarray(X_test),
@@ -315,9 +327,18 @@ def main(argv=None):
         gt_err = M.np_distance(np.asarray(hyperparams), ground_truth_params)
         log("\n=== Ground-truth comparison (analysis only) ===")
         log(f"Riemannian ||z - theta*||: {gt_err:.6f} (best during run: {res.error_best:.6f})")
-        for k in ("r2", "rmse", "nlpd"):
-            if k in test_metrics and k in gt_metrics:
-                log(f"  {k}: trained={test_metrics[k]:.6f}  ground-truth={gt_metrics[k]:.6f}")
+        from .utils.analysis import compare_gt_vs_trained, nll_error_correlation
+
+        gt_comparison = compare_gt_vs_trained(test_metrics, gt_metrics)
+        for k, row in gt_comparison["metrics"].items():
+            log(f"  {k}: trained={row['trained']:.6f}  ground-truth={row['ground_truth']:.6f}"
+                f"  [{row['significance']}{', trained better' if row['trained_better'] else ''}]")
+        log(f"  verdict: {gt_comparison['verdict']}")
+        nll_corr = nll_error_correlation(res.nll_history, res.error_history)
+        if nll_corr.get("available"):
+            log(f"  NLL-vs-param-error correlation: total={nll_corr['total_nll_vs_error']:.3f}, "
+                f"components={ {k: round(v, 3) for k, v in nll_corr['components'].items()} }, "
+                f"best predictor: {nll_corr['best_predictor']}")
 
     if not args.no_plot:
         plotting.plot_predictions(
@@ -344,6 +365,8 @@ def main(argv=None):
         "gt_metrics": ({k: v for k, v in gt_metrics.items() if isinstance(v, (int, float))}
                        if gt_metrics else None),
         "gt_error_best": res.error_best if ground_truth_params is not None else None,
+        "gt_comparison": gt_comparison,
+        "nll_error_correlation": nll_corr,
         "nll_history": res.nll_history,
         "cv_history": [
             {k: (v.tolist() if isinstance(v, np.ndarray) else v) for k, v in h.items()}

@@ -74,33 +74,43 @@ class CGResult(NamedTuple):
 
 def cg_solve(
     matvec: Callable[[jax.Array], jax.Array],
-    b: jax.Array,            # (N, R)
+    b: jax.Array,            # (N, R) — the local row shard when axis_name set
     tol: float = 1e-6,
     maxiter: int = 256,
     diag_precond: Optional[jax.Array] = None,  # (N,)
+    axis_name: Optional[str] = None,
 ) -> CGResult:
-    """Preconditioned CG, batched over RHS columns (jittable)."""
+    """Preconditioned CG, batched over RHS columns (jittable).
+
+    With ``axis_name`` the solver runs inside shard_map with rows sharded over
+    that mesh axis: all inner products become psums, states stay sharded."""
     Minv = 1.0 / diag_precond[:, None] if diag_precond is not None else None
 
     def precond(r):
         return r * Minv if Minv is not None else r
 
-    b_norm = jnp.linalg.norm(b, axis=0, keepdims=True) + 1e-30
+    def colsum(x):
+        local = jnp.sum(x, axis=0, keepdims=True)
+        if axis_name is not None:
+            local = jax.lax.psum(local, axis_name)
+        return local
+
+    b_norm = jnp.sqrt(colsum(b * b)) + 1e-30
 
     def cond(state):
         _, r, _, _, it = state
-        rel = jnp.max(jnp.linalg.norm(r, axis=0, keepdims=True) / b_norm)
+        rel = jnp.max(jnp.sqrt(colsum(r * r)) / b_norm)
         return jnp.logical_and(it < maxiter, rel > tol)
 
     def step(state):
         x, r, z, p, it = state
         Ap = matvec(p)
-        rz = jnp.sum(r * z, axis=0, keepdims=True)
-        alpha = rz / (jnp.sum(p * Ap, axis=0, keepdims=True) + 1e-30)
+        rz = colsum(r * z)
+        alpha = rz / (colsum(p * Ap) + 1e-30)
         x = x + alpha * p
         r_new = r - alpha * Ap
         z_new = precond(r_new)
-        beta = jnp.sum(r_new * z_new, axis=0, keepdims=True) / (rz + 1e-30)
+        beta = colsum(r_new * z_new) / (rz + 1e-30)
         p_new = z_new + beta * p
         return (x, r_new, z_new, p_new, it + 1)
 
@@ -108,7 +118,7 @@ def cg_solve(
     r0 = b
     z0 = precond(r0)
     x, r, _, _, it = jax.lax.while_loop(cond, step, (x0, r0, z0, z0, jnp.zeros((), jnp.int32)))
-    return CGResult(x, it, jnp.max(jnp.linalg.norm(r, axis=0) / b_norm[0]))
+    return CGResult(x, it, jnp.max(jnp.sqrt(colsum(r * r))[0] / b_norm[0]))
 
 
 def gp_posterior_large(
@@ -153,3 +163,72 @@ def gp_posterior_large(
     sol = cg_solve(A, K_ts, cg_tol, cg_maxiter, diag)
     var = k_diag(F_test) - jnp.sum(K_ts * sol.x, axis=0)
     return mean, jnp.maximum(var, 1e-10), res
+
+
+# ---------------------------------------------------------------------------
+# Mesh-sharded variant: rows over a ``data`` axis
+# ---------------------------------------------------------------------------
+
+
+def make_sharded_posterior(
+    spec: QuantumKernelSpec,
+    mesh,
+    noise_std: float,
+    jitter: float = 1e-6,
+    block: int = 2048,
+    cg_tol: float = 1e-6,
+    cg_maxiter: int = 512,
+    data_axis: str = "data",
+):
+    """Posterior (mean, var) with training rows sharded over ``data_axis``.
+
+    Per-sample features are tiny, so each device all-gathers the full feature
+    matrix once and streams only its row shard of every Gram product; all CG
+    inner products psum over the axis. This is the 50k-sample / multi-chip
+    path of BASELINE config #7.
+
+    Inputs to the returned fn: F_train (N, D) and y (N,) sharded along rows,
+    row mask (N,) sharded, F_test (M, D) replicated. Outputs replicated.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    sigma2 = noise_std**2 + jitter
+
+    def body(F_local, y_local, m_local, F_test):
+        F_full = jax.lax.all_gather(F_local, data_axis, tiled=True)
+        m_full = jax.lax.all_gather(m_local, data_axis, tiled=True)
+
+        def k_diag(F):
+            if spec.kernel_type == "fidelity":
+                return jnp.ones((F.shape[0],), y_local.dtype)
+            return outer_diag(spec.outer_kernel, F, spec.outer_params).astype(y_local.dtype)
+
+        def A(v_local):
+            v_full = jax.lax.all_gather(v_local, data_axis, tiled=True)
+            rows = gram_from_features(spec, F_local, F_full).astype(v_local.dtype)
+            rows = rows * (m_local[:, None] * m_full[None, :])
+            return rows @ v_full + sigma2 * v_local
+
+        diag_local = k_diag(F_local) + sigma2
+        res = cg_solve(A, (y_local * m_local)[:, None], cg_tol, cg_maxiter,
+                       diag_local, axis_name=data_axis)
+        alpha_local = res.x
+
+        K_st_local = gram_from_features(spec, F_local, F_test).astype(y_local.dtype)
+        K_st_local = K_st_local * m_local[:, None]
+        mean = jax.lax.psum(K_st_local.T @ alpha_local[:, 0], data_axis)
+
+        sol = cg_solve(A, K_st_local, cg_tol, cg_maxiter, diag_local,
+                       axis_name=data_axis)
+        quad = jax.lax.psum(jnp.sum(K_st_local * sol.x, axis=0), data_axis)
+        var = jnp.maximum(k_diag(F_test) - quad, 1e-10)
+        return mean, var
+
+    from jax.sharding import PartitionSpec
+
+    return jax.jit(jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(data_axis), P(data_axis), P(data_axis), P()),
+        out_specs=(P(), P()),
+    ))

@@ -1,0 +1,47 @@
+"""Data-axis-sharded CG posterior on the virtual CPU mesh must match the
+single-device dense posterior."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dqgp_tpu.models.circuits import build_circuit
+from dqgp_tpu.models.gp.posterior import predict_quantum_gp
+from dqgp_tpu.models.kernels import QuantumKernelSpec
+from dqgp_tpu.models.kernels.quantum_kernel import kernel_features
+from dqgp_tpu.parallel.blocked import make_sharded_posterior
+
+
+def test_sharded_posterior_matches_dense():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    spec = QuantumKernelSpec(
+        circuit=build_circuit("hubregtsen", 3, 2, 1),
+        kernel_type="projected", outer_kernel="matern",
+    )
+    rng = np.random.RandomState(0)
+    N, M = 64, 10
+    X = jnp.asarray(rng.uniform(-0.9, 0.9, (N + M, 2)), jnp.float32)
+    theta = jnp.asarray(rng.uniform(0, np.pi, spec.num_parameters), jnp.float32)
+    Y = jnp.asarray(np.sin(np.asarray(X)[:N, 0]) + 0.05 * rng.randn(N))
+
+    Xtr, Xte = X[:N], X[N:]
+    F_tr = kernel_features(spec, Xtr, theta).astype(jnp.float64)
+    F_te = kernel_features(spec, Xte, theta).astype(jnp.float64)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    fn = make_sharded_posterior(spec, mesh, noise_std=0.1, cg_tol=1e-10, cg_maxiter=300)
+
+    shard = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    F_s = jax.device_put(F_tr, shard)
+    y_s = jax.device_put(Y.astype(jnp.float64), shard)
+    m_s = jax.device_put(jnp.ones((N,), jnp.float64), shard)
+    F_te_r = jax.device_put(F_te, rep)
+
+    mean, var = fn(F_s, y_s, m_s, F_te_r)
+    want_mean, want_var = predict_quantum_gp(spec, Xtr, Y, Xte, theta, noise_std=0.1)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(want_mean), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(want_var), rtol=1e-3, atol=1e-6)
