@@ -1,0 +1,128 @@
+"""RiemannianAgent — API-parity facade over the jitted agent step.
+
+Mirrors the reference's agent surface (agent_riemannian.py:126-491):
+``RiemannianAgent(agent_id, X_sub, Y_sub, ...).train_and_update(z, psi_i)``
+returning ``(theta_i, psi_i, nll_loss, condition_number, nll_components)``.
+
+Users of the reference can drive a single agent directly; the distributed
+path (``dqgp_tpu.driver.train``) uses the same underlying ``_agent_local``
+body vmapped/shard_mapped over the mesh instead of one process per agent.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .manifold import TorusManifold, create_riemannian_framework
+from .models.kernels.quantum_kernel import QuantumKernel, QuantumKernelSpec
+from .parallel.consensus import _agent_local
+
+
+class RiemannianAgent:
+    def __init__(
+        self,
+        agent_id,
+        X_sub,
+        Y_sub,
+        num_qubits: int,
+        noise_std: float,
+        rho: float,
+        L: float,
+        q_kernel: Optional[QuantumKernel] = None,
+        use_parameter_shift: bool = True,
+        num_workers=None,                      # accepted for parity; on-device
+        shift_value: float = float(np.pi / 8),
+        num_layers: int = 2,
+        combined_computation: bool = True,     # parity; always combined here
+        encoding_type: str = "yz_cx",
+        kernel_type: str = "fidelity",
+        measurement: str = "XYZ",
+        outer_kernel: str = "gaussian",
+        outer_kernel_params: Optional[Dict] = None,
+        regularization: Optional[str] = None,
+        riemannian_lr: float = 0.01,
+        riemannian_method: str = "gradient_descent",
+        riemannian_beta: float = 0.9,
+        grad_method: str = "central",
+        parity_round: bool = True,
+    ):
+        self.agent_id = agent_id
+        self.X_sub = np.asarray(X_sub)
+        if self.X_sub.ndim == 1:
+            self.X_sub = self.X_sub.reshape(-1, 1)
+        self.Y_sub = np.asarray(Y_sub)
+        self.noise_std = noise_std
+        self.rho = rho
+        self.L = L
+        self.shift_value = shift_value
+        self.grad_method = "central" if use_parameter_shift else grad_method
+        self.parity_round = parity_round
+
+        if q_kernel is not None:
+            self.spec = q_kernel.spec
+        else:
+            from .models.kernels.quantum_kernel import create_quantum_kernel
+
+            self.spec = create_quantum_kernel(
+                num_qubits, self.X_sub.shape[1], num_layers, use_parameter_shift,
+                encoding_type, kernel_type, measurement, outer_kernel,
+                outer_kernel_params, regularization,
+            ).spec
+
+        # Riemannian framework, exposed like the reference's
+        # _setup_riemannian_framework (agent_riemannian.py:198-207).
+        self.manifold: Optional[TorusManifold] = None
+        self.riemannian_optimizer = None
+        self.riemannian_admm = None
+        self._riemannian_lr = riemannian_lr
+        self._riemannian_method = riemannian_method
+
+        self._step = jax.jit(
+            partial(
+                _agent_local,
+                self.spec,
+                rho=float(rho), L=float(L), noise_std=float(noise_std),
+                shift_value=float(shift_value), parity_round=parity_round,
+                compute_cond=True, grad_method=self.grad_method,
+            )
+        )
+
+    def _setup_riemannian_framework(self, num_parameters: int):
+        if self.manifold is None:
+            self.manifold, self.riemannian_optimizer, self.riemannian_admm = (
+                create_riemannian_framework(
+                    num_parameters=num_parameters,
+                    learning_rate=self._riemannian_lr,
+                    rho=self.rho,
+                    method=self._riemannian_method,
+                )
+            )
+
+    def train_and_update(self, z, psi_i) -> Tuple[np.ndarray, np.ndarray, float, float, Dict]:
+        """One local ADMM round. Reference: agent_riemannian.py:314-491."""
+        z = jnp.asarray(z, jnp.float64)
+        self._setup_riemannian_framework(z.shape[0])
+        mask = jnp.ones((self.X_sub.shape[0],), jnp.float64)
+        theta_i, psi_new, nll, ld, quad, const, cond = self._step(
+            jnp.asarray(self.X_sub, jnp.float32),
+            jnp.asarray(self.Y_sub, jnp.float64),
+            mask, z, jnp.asarray(psi_i, jnp.float64),
+        )
+        nll_components = {
+            "log_det_term": float(ld),
+            "quadratic_term": float(quad),
+            "constant_term": float(const),
+            "total": float(nll),
+        }
+        return (
+            np.asarray(theta_i),
+            np.asarray(psi_new),
+            float(nll),
+            float(cond),
+            nll_components,
+        )

@@ -177,6 +177,11 @@ def main(argv=None):
     ground_truth_params = None
     input_dim = args.input_dim
 
+    # measurement: single-qubit chars ("XYZ") or comma-separated multi-qubit
+    # Pauli strings ("XXII,ZZII") — squlearn's list form (main.py:1994-1995)
+    measurement = (tuple(args.measurement.split(","))
+                   if "," in args.measurement else args.measurement)
+
     def make_spec(num_features: int) -> QuantumKernelSpec:
         circuit = build_circuit(args.encoding, args.num_qubits, num_features, args.num_layers)
         params = (tuple(sorted(outer_kernel_params.items()))
@@ -184,7 +189,7 @@ def main(argv=None):
         return QuantumKernelSpec(
             circuit=circuit,
             kernel_type=args.kernel_type,
-            measurement=args.measurement,
+            measurement=measurement,
             outer_kernel=args.outer_kernel,
             outer_kernel_params=params,
             regularization=args.regularization,
@@ -214,6 +219,12 @@ def main(argv=None):
             kwargs["subsample_factor"] = args.dataset_subsample
             kwargs["use_preprocessed"] = args.use_srtm_preprocessed
         X_full, Y_full = load_real_world_dataset(dataset_name, **kwargs)
+        if not args.no_plot:
+            plotting.plot_real_world_dataset(
+                X_full, Y_full, dataset_name,
+                region=(args.srtm_region if dataset_name == "srtm_elevation" else None),
+                save_plot=True, output_dir=args.output_dir,
+            )
         input_dim = X_full.shape[1]
         spec = make_spec(input_dim)
     elif args.classical_dataset:

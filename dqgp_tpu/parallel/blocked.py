@@ -232,3 +232,98 @@ def make_sharded_posterior(
         in_specs=(P(data_axis), P(data_axis), P(data_axis), P()),
         out_specs=(P(), P()),
     ))
+
+
+# ---------------------------------------------------------------------------
+# Gram-free blocked Cholesky: exact logdet/NLL at scale
+# ---------------------------------------------------------------------------
+
+
+def gram_free_blocked_cholesky(
+    spec: QuantumKernelSpec,
+    F: jax.Array,            # (N, D) features, N divisible by block after pad
+    noise_std: float,
+    jitter: float = 1e-6,
+    block: int = 1024,
+    dtype=jnp.float32,
+):
+    """Cholesky factor of (K + sigma^2 I) WITHOUT materializing K.
+
+    Left-looking blocked factorization; each panel's Gram block is generated
+    on the fly from the (tiny) feature matrix, so peak memory is the L factor
+    itself (f32: 10 GB at N=50k) plus one (N, block) panel — the reference's
+    dense f64 K + LAPACK path needs 40 GB before factoring even starts.
+
+    Maintains the invariant that columns >= the current panel are zero, which
+    lets the trailing correction use full-width matmuls (MXU-shaped) with no
+    triangular masking. Returns (L, logdet) with logdet of the padded system
+    equal to the true logdet (padded rows contribute log(1) = 0).
+    """
+    n = F.shape[0]
+    n_pad = ((n + block - 1) // block) * block
+    mask = jnp.ones((n,), dtype)
+    if n_pad != n:
+        F = jnp.pad(F, ((0, n_pad - n),) + ((0, 0),) * (F.ndim - 1))
+        mask = jnp.pad(mask, (0, n_pad - n))
+    sigma2 = noise_std**2 + jitter
+    nb = n_pad // block
+
+    def k_panel(k):
+        F_k = jax.lax.dynamic_slice_in_dim(F, k * block, block, 0)
+        m_k = jax.lax.dynamic_slice_in_dim(mask, k * block, block, 0)
+        P = gram_from_features(spec, F, F_k).astype(dtype)
+        P = P * (mask[:, None] * m_k[None, :])
+        # sigma^2 on the real diagonal, 1 on the padded diagonal of this panel
+        row_ids = jnp.arange(n_pad)[:, None]
+        col_ids = k * block + jnp.arange(block)[None, :]
+        on_diag = (row_ids == col_ids).astype(dtype)
+        return P + on_diag * (sigma2 * m_k[None, :] + (1.0 - m_k[None, :]))
+
+    def body(k, L):
+        panel = k_panel(k)                                  # (n_pad, block)
+        Lk_rows = jax.lax.dynamic_slice_in_dim(L, k * block, block, 0)
+        corr = L @ Lk_rows.T                                # (n_pad, block)
+        T = panel - corr
+        S_kk = jax.lax.dynamic_slice_in_dim(T, k * block, block, 0)
+        L_kk = jnp.linalg.cholesky(S_kk)
+        from jax.scipy.linalg import solve_triangular
+
+        panel_L = solve_triangular(L_kk, T.T, lower=True).T  # T @ L_kk^{-T}
+        # zero rows above (and inside) the diagonal block, then add L_kk
+        row_ids = jnp.arange(n_pad)[:, None]
+        below = (row_ids >= (k + 1) * block).astype(dtype)
+        panel_out = panel_L * below
+        panel_out = jax.lax.dynamic_update_slice_in_dim(
+            panel_out, jnp.tril(L_kk), k * block, 0
+        )
+        return jax.lax.dynamic_update_slice_in_dim(L, panel_out, k * block, 1)
+
+    L = jax.lax.fori_loop(0, nb, body, jnp.zeros((n_pad, n_pad), dtype))
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    return L, logdet
+
+
+def nll_large(
+    spec: QuantumKernelSpec,
+    F: jax.Array,
+    y: jax.Array,
+    noise_std: float,
+    jitter: float = 0.0,
+    block: int = 1024,
+    dtype=jnp.float32,
+):
+    """Exact GP NLL (+components) at scale via the Gram-free blocked Cholesky.
+
+    Matches agent_riemannian.py:442-460 semantics: 0.5 logdet + 0.5 y^T C^{-1} y
+    + 0.5 N log(2 pi) with C = K + sigma^2 I."""
+    from jax.scipy.linalg import solve_triangular
+
+    n = F.shape[0]
+    L, logdet = gram_free_blocked_cholesky(spec, F, noise_std, jitter, block, dtype)
+    y_pad = jnp.pad(y.astype(dtype), (0, L.shape[0] - n))
+    w = solve_triangular(L, y_pad, lower=True)
+    quad = 0.5 * jnp.sum(w * w)
+    const = 0.5 * n * jnp.log(2.0 * jnp.pi)
+    ld = 0.5 * logdet
+    return ld + quad + const, {"log_det_term": ld, "quadratic_term": quad,
+                               "constant_term": const}

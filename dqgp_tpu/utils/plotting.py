@@ -139,6 +139,48 @@ def plot_predictions(X_test, Y_true, Y_pred, Y_pred_var=None, X_train=None,
     return _save(fig, save_plot, output_dir, "predictions.png")
 
 
+def plot_real_world_dataset(X, Y, dataset_name="unknown", region=None,
+                            save_plot=True, output_dir="plots") -> Optional[str]:
+    """Real-world dataset visualization — 2D datasets get a 6-panel figure
+    (spatial scatter, target histogram, per-axis marginals, stats table),
+    3D datasets a 4-panel one (real_world_datasets.py:586-790)."""
+    d = X.shape[1]
+    cmap = "terrain" if "srtm" in dataset_name else "coolwarm"
+    stats = [
+        ["samples", f"{len(Y)}"],
+        ["Y mean", f"{Y.mean():.3f}"],
+        ["Y std", f"{Y.std():.3f}"],
+        ["Y range", f"[{Y.min():.2f}, {Y.max():.2f}]"],
+    ]
+    title = f"{dataset_name}" + (f" ({region})" if region else "")
+
+    if d == 2:
+        fig, axes = plt.subplots(2, 3, figsize=(15, 8))
+        sc = axes[0][0].scatter(X[:, 1], X[:, 0], c=Y, cmap=cmap, s=8)
+        plt.colorbar(sc, ax=axes[0][0])
+        axes[0][0].set_title("spatial field"); axes[0][0].set_xlabel("x2"); axes[0][0].set_ylabel("x1")
+        axes[0][1].hist(Y, bins=40, color="tab:blue", alpha=0.8)
+        axes[0][1].set_title("target distribution")
+        axes[0][2].scatter(X[:, 0], Y, s=6, alpha=0.5)
+        axes[0][2].set_title("Y vs x1")
+        axes[1][0].scatter(X[:, 1], Y, s=6, alpha=0.5)
+        axes[1][0].set_title("Y vs x2")
+        axes[1][1].hist2d(X[:, 1], X[:, 0], bins=30)
+        axes[1][1].set_title("sampling density")
+        axes[1][2].axis("off")
+        axes[1][2].table(cellText=stats, loc="center")
+        axes[1][2].set_title("stats")
+    else:
+        fig, axes = plt.subplots(1, 4, figsize=(18, 4))
+        for i in range(min(3, d)):
+            axes[i].scatter(X[:, i], Y, s=6, alpha=0.5)
+            axes[i].set_title(f"Y vs x{i+1}")
+        axes[3].axis("off")
+        axes[3].table(cellText=stats, loc="center")
+    fig.suptitle(title)
+    return _save(fig, save_plot, output_dir, f"{dataset_name}_dataset.png")
+
+
 def plot_convergence(nll_history: List[Dict], cv_history: List[Dict],
                      error_history: Optional[List[float]] = None,
                      save_plot=True, output_dir="results") -> Optional[str]:

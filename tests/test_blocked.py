@@ -63,3 +63,27 @@ def test_large_posterior_matches_dense_cholesky():
     np.testing.assert_allclose(np.asarray(mean), np.asarray(want_mean), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(var), np.asarray(want_var), rtol=1e-3, atol=1e-6)
     assert int(res.iterations) < 400
+
+
+def test_gram_free_blocked_cholesky_matches_dense():
+    from dqgp_tpu.parallel.blocked import gram_free_blocked_cholesky, nll_large
+    from dqgp_tpu.models.gp.posterior import masked_nll_and_grad
+
+    spec, X, theta, F, Y = _setup(N=75, seed=5)
+    F64 = F.astype(jnp.float64)
+    L, logdet = gram_free_blocked_cholesky(spec, F64, noise_std=0.1,
+                                           jitter=0.0, block=16, dtype=jnp.float64)
+    K = np.asarray(gram_from_features(spec, F64), np.float64)
+    C = K + 0.01 * np.eye(75)
+    want_L = np.linalg.cholesky(C)
+    np.testing.assert_allclose(np.asarray(L)[:75, :75], want_L, rtol=1e-8, atol=1e-10)
+    sign, want_ld = np.linalg.slogdet(C)
+    assert np.isclose(float(logdet), want_ld, rtol=1e-10)
+
+    nll, comps = nll_large(spec, F64, Y, noise_std=0.1, block=16, dtype=jnp.float64)
+    # masked_nll_and_grad takes the noise-FREE Gram and adds sigma^2 itself
+    ref = masked_nll_and_grad(
+        jnp.asarray(K), jnp.zeros((0, 75, 75)), Y, jnp.ones(75), 0.1,
+        compute_cond=False,
+    )
+    assert np.isclose(float(nll), float(ref.nll), rtol=1e-10)
