@@ -54,12 +54,13 @@ def solve_psd_with_fallback(C: jax.Array, y: jax.Array, fallback: bool = True) -
         return C_inv, C_inv_y, logdet
 
     def pinv_branch(_):
-        w, V = jnp.linalg.eigh(C)
-        # pinv with sklearn-style cutoff; slogdet guard: the reference falls
-        # back to det of a 1e-8-jittered matrix when sign(det) <= 0
-        # (agent_riemannian.py:442-444); we use sum(log|w| + 1e-8) which is
-        # finite in the same regimes.
-        cutoff = jnp.max(jnp.abs(w)) * n * jnp.finfo(C.dtype).eps
+        # Rescue path for a failed Cholesky: eigendecomposition in f32 (f64
+        # eigh compiles pathologically slowly on emulated-f64 TPU backends;
+        # a matrix that defeated f64 Cholesky has no f64-accurate inverse
+        # anyway — the reference's pinv end-state is equally approximate).
+        w32, V32 = jnp.linalg.eigh(C.astype(jnp.float32))
+        w, V = w32.astype(C.dtype), V32.astype(C.dtype)
+        cutoff = jnp.max(jnp.abs(w)) * n * jnp.finfo(jnp.float32).eps
         w_inv = jnp.where(jnp.abs(w) > cutoff, 1.0 / w, 0.0)
         C_inv = (V * w_inv[None, :]) @ V.T
         C_inv_y = C_inv @ y
@@ -81,9 +82,12 @@ def condition_number(C: jax.Array) -> jax.Array:
     """2-norm condition number. The reference uses np.linalg.cond (SVD;
     agent_riemannian.py:411, main.py:1441); for the symmetric Grams it is
     applied to, |eigenvalues| == singular values, and eigvalsh is far cheaper
-    to compile and run on TPU than SVD."""
-    w = jnp.abs(jnp.linalg.eigvalsh(C))
-    return jnp.max(w, axis=-1) / jnp.min(w, axis=-1)
+    to compile and run on TPU than SVD. Computed in f32: this is a
+    reporting-only quantity and f64 eigendecompositions compile
+    pathologically slowly on emulated-f64 TPU backends."""
+    w = jnp.abs(jnp.linalg.eigvalsh(C.astype(jnp.float32)))
+    cond = jnp.max(w, axis=-1) / jnp.min(w, axis=-1)
+    return cond.astype(C.dtype)
 
 
 def masked_identity_pad(K: jax.Array, mask: jax.Array) -> jax.Array:
