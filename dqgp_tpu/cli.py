@@ -121,6 +121,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="write structured run metrics to this JSON file")
     parser.add_argument("--mesh-devices", type=int, default=None,
                         help="number of devices for the agents mesh (default: all)")
+    parser.add_argument("--cv-dtype", choices=["float64", "float32"], default="float64",
+                        help="dtype for the per-iteration CV folds (float32 is ~10x "
+                             "faster on TPU; selection only needs NLPD ordering)")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a jax.profiler trace of the training loop "
                              "into this directory (view with TensorBoard/XProf)")
@@ -289,6 +292,7 @@ def main(argv=None):
         parity_round=not args.no_parity_round,
         compute_cond=not args.no_cond,
         grad_method=args.grad_method,
+        cv_dtype=args.cv_dtype,
         run_cv=not args.no_cv,
         n_mesh_devices=args.mesh_devices,
         checkpoint_dir=args.checkpoint_dir,

@@ -49,6 +49,7 @@ class TrainConfig:
     parity_round: bool = True       # 4-decimal quantization (reference quirk)
     compute_cond: bool = True       # per-iteration condition numbers (eigvalsh)
     gp_dtype: str = "float64"       # GP linalg dtype ("float32" for raw TPU speed)
+    cv_dtype: str = "float64"       # CV fold dtype ("float32": ~10x faster folds on TPU)
     psd_fallback: bool = True       # compile the eigh-pinv fallback branch
     grad_method: str = "central"    # "central" (parity) | "autodiff" (exact)
     run_cv: bool = True             # per-iteration k-fold CV model selection
@@ -219,6 +220,7 @@ def train(
                     spec, X_train, Y_train, z, cfg.noise_std,
                     k_folds=cfg.cv_folds,
                     random_seed=cfg.seed + it,  # per-iteration seed (main.py:2665)
+                    cv_dtype=cfg.cv_dtype,
                 )
                 cv_score = cv["mean_nlpd"]
                 if cv_score < cv_best:

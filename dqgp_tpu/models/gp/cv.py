@@ -60,7 +60,7 @@ def kfold_pad_indices(n: int, k: int, seed: int):
     return jnp.asarray(tr_i), jnp.asarray(tr_m), jnp.asarray(va_i), jnp.asarray(va_m)
 
 
-@partial(jax.jit, static_argnums=(0,), static_argnames=("noise_std", "jitter"))
+@partial(jax.jit, static_argnums=(0,), static_argnames=("noise_std", "jitter", "cv_dtype"))
 def _cv_fold_scores(
     spec: QuantumKernelSpec,
     X: jax.Array,
@@ -72,16 +72,23 @@ def _cv_fold_scores(
     va_m: jax.Array,
     noise_std: float = 0.1,
     jitter: float = 1e-6,
+    cv_dtype: str = "float64",
 ):
     """Per-fold (nlpd, r2, rmse) — one fused program for all folds."""
     F = kernel_features(spec, X, theta)  # once per consensus vector
-    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if cv_dtype == "float64" and not jax.config.jax_enable_x64:
+        cv_dtype = "float32"
+    dtype = jnp.dtype(cv_dtype)
     # Upcast features so the GP-side Gram/solve numerics match the reference's
-    # f64 LAPACK path (statevector work itself stays in f32/c64).
-    if jax.config.jax_enable_x64:
+    # f64 LAPACK path (statevector work itself stays in f32/c64). cv_dtype
+    # "float32" trades ~1e-4 NLPD noise for ~10x faster folds on emulated-f64
+    # TPU backends (model selection only needs NLPD ordering).
+    if dtype == jnp.float64:
         F = F.astype(jnp.complex128 if spec.kernel_type == "fidelity" else dtype)
 
     def fold(tr_idx, tr_mask, va_idx, va_mask):
+        tr_mask = tr_mask.astype(dtype)
+        va_mask = va_mask.astype(dtype)
         F_tr = F[tr_idx] * tr_mask[:, None].astype(F.dtype)
         F_va = F[va_idx]
         y_tr = Y[tr_idx].astype(dtype) * tr_mask
@@ -121,6 +128,7 @@ def k_fold_cross_validation_consensus(
     k_folds: int = 5,
     random_seed: int = 42,
     jitter: float = 1e-6,
+    cv_dtype: str = "float64",
 ) -> Dict:
     """Aggregate CV results with the reference's failure semantics
     (main.py:1564-1596): failed folds (non-finite) score +inf, and the run is
@@ -135,6 +143,7 @@ def k_fold_cross_validation_consensus(
         tr_i, tr_m, va_i, va_m,
         noise_std=float(noise_std),
         jitter=float(jitter),
+        cv_dtype=cv_dtype,
     )
     nlpds = np.asarray(nlpds, np.float64)
     r2s = np.asarray(r2s, np.float64)

@@ -114,7 +114,9 @@ def gp_posterior_from_grams(
     y = y_train * m
     K_st = K_st * m[None, :]
 
-    res = solve_psd_with_fallback(C, y)
+    # C^{-1} is only materialized on the (rare) fallback path — the Cholesky
+    # path uses L directly for mean and variance.
+    res = solve_psd_with_fallback(C, y, need_inverse=False)
     mean = K_st @ res.C_inv_y
     # var = diag(K_**) - sum(v^2), v = L^{-1} K_st^T on the Cholesky path;
     # on the fallback path use the explicit inverse (main.py:1476-1482).

@@ -27,7 +27,8 @@ class SolveResult(NamedTuple):
     L: jax.Array            # Cholesky factor (garbage if chol_ok is False)
 
 
-def solve_psd_with_fallback(C: jax.Array, y: jax.Array, fallback: bool = True) -> SolveResult:
+def solve_psd_with_fallback(C: jax.Array, y: jax.Array, fallback: bool = True,
+                            need_inverse: bool = True) -> SolveResult:
     """C^{-1}, C^{-1} y and logdet(C) via Cholesky, eigh-pinv on failure.
 
     Mirrors agent_riemannian.py:414-428 + the slogdet guard at :442-444 (the
@@ -38,6 +39,11 @@ def solve_psd_with_fallback(C: jax.Array, y: jax.Array, fallback: bool = True) -
     compile-time cost on TPU); a failed Cholesky then yields non-finite
     outputs, which callers surface as inf NLL / failed folds — the same
     observable outcome as the reference's exception paths.
+
+    ``need_inverse=False`` skips the O(N^3) explicit C^{-1} on the Cholesky
+    path (posterior/CV callers only need L and C^{-1} y; the inverse is only
+    required for the NLL gradient's bracket matrix) — ~4x less linalg work
+    per GP fit.
     """
     n = C.shape[-1]
     eye = jnp.eye(n, dtype=C.dtype)
@@ -48,8 +54,11 @@ def solve_psd_with_fallback(C: jax.Array, y: jax.Array, fallback: bool = True) -
     def chol_branch(_):
         w = solve_triangular(L_safe, y, lower=True)
         C_inv_y = solve_triangular(L_safe.T, w, lower=False)
-        Vi = solve_triangular(L_safe, eye, lower=True)
-        C_inv = solve_triangular(L_safe.T, Vi, lower=False)
+        if need_inverse:
+            Vi = solve_triangular(L_safe, eye, lower=True)
+            C_inv = solve_triangular(L_safe.T, Vi, lower=False)
+        else:
+            C_inv = jnp.zeros_like(C)
         logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_safe)))
         return C_inv, C_inv_y, logdet
 

@@ -162,3 +162,13 @@ def test_evaluate_predictions_matches_sklearn():
     assert np.isclose(m["r2"], r2_score(y, yp))
     assert 0 <= m["within_1sigma"] <= 1 and 0 <= m["within_2sigma"] <= 1
     assert "nlpd" in m and np.isfinite(m["nlpd"])
+
+
+def test_cv_float32_mode_close_to_f64():
+    spec = _spec()
+    X, Y, theta = _toy(N=30, seed=8)
+    a = k_fold_cross_validation_consensus(spec, X, Y, theta, noise_std=0.1,
+                                          k_folds=3, random_seed=1)
+    b = k_fold_cross_validation_consensus(spec, X, Y, theta, noise_std=0.1,
+                                          k_folds=3, random_seed=1, cv_dtype="float32")
+    assert np.isclose(a["mean_nlpd"], b["mean_nlpd"], rtol=1e-3, atol=1e-4)
