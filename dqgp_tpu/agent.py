@@ -48,7 +48,7 @@ class RiemannianAgent:
         riemannian_lr: float = 0.01,
         riemannian_method: str = "gradient_descent",
         riemannian_beta: float = 0.9,
-        grad_method: str = "central",
+        grad_method: Optional[str] = None,
         parity_round: bool = True,
     ):
         self.agent_id = agent_id
@@ -60,7 +60,12 @@ class RiemannianAgent:
         self.rho = rho
         self.L = L
         self.shift_value = shift_value
-        self.grad_method = "central" if use_parameter_shift else grad_method
+        # Explicit grad_method wins; otherwise map the reference's executor
+        # choice: parameter-shift -> central difference, PennyLane -> autodiff
+        # (main.py:109-114).
+        if grad_method is None:
+            grad_method = "central" if use_parameter_shift else "autodiff"
+        self.grad_method = grad_method
         self.parity_round = parity_round
 
         if q_kernel is not None:

@@ -149,6 +149,23 @@ def assemble_outer_kernel_params(args) -> dict:
     return {}
 
 
+def _json_sanitize(obj):
+    """Strict-RFC JSON: non-finite floats (inf CV penalties etc.) -> None."""
+    import math
+
+    if isinstance(obj, dict):
+        return {k: _json_sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_sanitize(v) for v in obj]
+    if isinstance(obj, np.ndarray):
+        return _json_sanitize(obj.tolist())
+    if isinstance(obj, (float, np.floating)):
+        return float(obj) if math.isfinite(obj) else None
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    return obj
+
+
 def main(argv=None):
     import jax.numpy as jnp
 
@@ -391,7 +408,7 @@ def main(argv=None):
     if args.metrics_json:
         os.makedirs(os.path.dirname(args.metrics_json) or ".", exist_ok=True)
         with open(args.metrics_json, "w") as f:
-            json.dump(summary, f, indent=2, default=float)
+            json.dump(_json_sanitize(summary), f, indent=2, default=float)
         log(f"Metrics written to {args.metrics_json}")
     return summary
 

@@ -193,6 +193,9 @@ def train(
 
         nll = np.asarray(out.nll)
         conds = np.asarray(out.condition_number)
+        lds = np.asarray(out.log_det_term)
+        quads = np.asarray(out.quadratic_term)
+        consts = np.asarray(out.constant_term)
         valid = nll[np.isfinite(nll)]
         nll_history.append({
             "iteration": it,
@@ -200,9 +203,9 @@ def train(
             "condition_numbers": conds.tolist(),
             "nll_components": [
                 {
-                    "log_det_term": float(out.log_det_term[i]),
-                    "quadratic_term": float(out.quadratic_term[i]),
-                    "constant_term": float(out.constant_term[i]),
+                    "log_det_term": float(lds[i]),
+                    "quadratic_term": float(quads[i]),
+                    "constant_term": float(consts[i]),
                     "total": float(nll[i]),
                 }
                 for i in range(n_agents)
@@ -284,7 +287,8 @@ def train(
             break
         if cfg.run_cv and patience_counter >= cfg.cv_patience:
             converged_by = "cv_patience"
-            z = z_best_cv.copy()
+            if z_best_cv is not None:  # CV may never have produced a finite score
+                z = z_best_cv.copy()
             break
         if it >= cfg.max_iter:
             converged_by = "max_iter"

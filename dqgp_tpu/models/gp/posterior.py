@@ -84,7 +84,14 @@ def masked_nll_and_grad(
     nll = log_det_term + quadratic_term + constant_term
 
     if compute_cond:
-        cond = condition_number(Km)  # reference conditions the noise-free C
+        # The reference conditions the noise-free C. Padded rows would inject
+        # eigenvalues of exactly 1 (distorting cond for non-unit-diagonal
+        # kernels), so pad the diagonal with the mean real diagonal instead —
+        # it lies in [lambda_min, lambda_max] and leaves max/min untouched.
+        diag_mean = jnp.sum(jnp.diagonal(K) * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        m2 = mask[:, None] * mask[None, :]
+        K_cond = K * m2 + jnp.diag((1.0 - mask) * diag_mean)
+        cond = condition_number(K_cond)
     else:
         cond = jnp.asarray(jnp.nan, dtype)
     return NLLResult(nll, grad, log_det_term, quadratic_term, constant_term, cond, res.chol_ok)

@@ -82,7 +82,7 @@ def _measurement_selector(spec: QuantumKernelSpec) -> Tuple[str, ...]:
         if not chars or any(c not in "XYZ" for c in chars):
             raise ValueError(f"Bad measurement string {m!r}; use chars from 'XYZ'")
         return chars
-    return tuple(m)
+    return tuple(p.upper() for p in m)
 
 
 def features_from_angles(spec: QuantumKernelSpec, angles: jax.Array) -> jax.Array:

@@ -32,6 +32,16 @@ from ..models.gp.metrics import outer_diag
 from ..models.kernels.quantum_kernel import QuantumKernelSpec, gram_from_features
 
 
+def _check_no_regularization(spec: QuantumKernelSpec) -> None:
+    if spec.regularization is not None:
+        raise NotImplementedError(
+            "Gram regularization (thresholding/tikhonov) requires the full "
+            "eigendecomposition of the training Gram and is incompatible with "
+            "the matrix-free scale-out paths; use the dense posterior or "
+            "regularization=None."
+        )
+
+
 def _pad_rows(F: jax.Array, block: int) -> Tuple[jax.Array, int]:
     n = F.shape[0]
     n_pad = ((n + block - 1) // block) * block
@@ -139,6 +149,7 @@ def gp_posterior_large(
     through the same CG (exact GP math — no sparse/inducing approximation;
     accuracy is set by cg_tol).
     """
+    _check_no_regularization(spec)
     n = F_train.shape[0]
     dtype = y_train.dtype
     mask = jnp.ones((n,), dtype)
@@ -192,6 +203,7 @@ def make_sharded_posterior(
     """
     from jax.sharding import PartitionSpec as P
 
+    _check_no_regularization(spec)
     sigma2 = noise_std**2 + jitter
 
     def body(F_local, y_local, m_local, F_test):
@@ -223,8 +235,6 @@ def make_sharded_posterior(
         quad = jax.lax.psum(jnp.sum(K_st_local * sol.x, axis=0), data_axis)
         var = jnp.maximum(k_diag(F_test) - quad, 1e-10)
         return mean, var
-
-    from jax.sharding import PartitionSpec
 
     return jax.jit(jax.shard_map(
         body,
@@ -259,6 +269,7 @@ def gram_free_blocked_cholesky(
     triangular masking. Returns (L, logdet) with logdet of the padded system
     equal to the true logdet (padded rows contribute log(1) = 0).
     """
+    _check_no_regularization(spec)
     n = F.shape[0]
     n_pad = ((n + block - 1) // block) * block
     mask = jnp.ones((n,), dtype)

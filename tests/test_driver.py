@@ -111,3 +111,17 @@ def test_ground_truth_recovery_small():
                       run_cv=False)
     res = train(spec, splits, X, Y, cfg, ground_truth_params=gt)
     assert res.error_best <= initial_err * 1.05
+
+
+def test_cv_patience_with_no_valid_cv_does_not_crash():
+    """Regression: patience exhausted before any finite CV score must not
+    crash on z_best_cv=None (e.g. train set smaller than cv_folds)."""
+    spec, X, Y, gt = _make_problem(n=8)
+    splits = split_data_numpy(X, Y, 2, "sequential")
+    cfg = TrainConfig(rho=100.0, L=100.0, noise_std=0.05, max_iter=5,
+                      cv_folds=50,  # > n_train -> every CV call fails
+                      cv_patience=2, seed=42, compute_cond=False, verbose=False)
+    res = train(spec, splits, X, Y, cfg)
+    assert res.converged_by == "cv_patience"
+    assert res.z_best_cv is None
+    assert np.all(np.isfinite(res.z))
