@@ -87,17 +87,25 @@ def cg_solve(
     b: jax.Array,            # (N, R) — the local row shard when axis_name set
     tol: float = 1e-6,
     maxiter: int = 256,
-    diag_precond: Optional[jax.Array] = None,  # (N,)
+    diag_precond: Optional[jax.Array] = None,  # (N,) or a callable r -> M^{-1} r
     axis_name: Optional[str] = None,
 ) -> CGResult:
     """Preconditioned CG, batched over RHS columns (jittable).
 
-    With ``axis_name`` the solver runs inside shard_map with rows sharded over
-    that mesh axis: all inner products become psums, states stay sharded."""
-    Minv = 1.0 / diag_precond[:, None] if diag_precond is not None else None
+    ``diag_precond`` may be a diagonal (Jacobi) or any callable applying an
+    SPD approximate inverse (e.g. the pivoted-Cholesky/Woodbury preconditioner
+    below). With ``axis_name`` the solver runs inside shard_map with rows
+    sharded over that mesh axis: all inner products become psums."""
+    if callable(diag_precond):
+        precond = diag_precond
+    elif diag_precond is not None:
+        Minv = 1.0 / diag_precond[:, None]
 
-    def precond(r):
-        return r * Minv if Minv is not None else r
+        def precond(r):
+            return r * Minv
+    else:
+        def precond(r):
+            return r
 
     def colsum(x):
         local = jnp.sum(x, axis=0, keepdims=True)
@@ -141,13 +149,17 @@ def gp_posterior_large(
     block: int = 2048,
     cg_tol: float = 1e-6,
     cg_maxiter: int = 512,
+    precond_rank: int = 64,
 ) -> Tuple[jax.Array, jax.Array, CGResult]:
     """Posterior mean and variance diagonal at scale, matrix-free.
 
     mean = K_*^T alpha with alpha from CG on (K + sigma^2 I);
     var  = k(x,x) - k_*^T (K + sigma^2 I)^{-1} k_* with the k_* solves batched
     through the same CG (exact GP math — no sparse/inducing approximation;
-    accuracy is set by cg_tol).
+    accuracy is set by cg_tol). ``precond_rank > 0`` uses a rank-k
+    pivoted-Cholesky/Woodbury preconditioner (smooth-kernel Grams are
+    near-low-rank, so this collapses the CG iteration count); 0 falls back
+    to Jacobi.
     """
     _check_no_regularization(spec)
     n = F_train.shape[0]
@@ -163,15 +175,19 @@ def gp_posterior_large(
             return jnp.ones((F.shape[0],), dtype)
         return outer_diag(spec.outer_kernel, F, spec.outer_params).astype(dtype)
 
-    diag = k_diag(F_train) + sigma2
+    if precond_rank > 0:
+        Lp = pivoted_cholesky(spec, F_train, min(precond_rank, n))
+        precond = woodbury_preconditioner(Lp.astype(dtype), sigma2)
+    else:
+        precond = k_diag(F_train) + sigma2
 
-    res = cg_solve(A, y_train[:, None].astype(dtype), cg_tol, cg_maxiter, diag)
+    res = cg_solve(A, y_train[:, None].astype(dtype), cg_tol, cg_maxiter, precond)
     alpha = res.x[:, 0]
 
     K_ts = gram_from_features(spec, F_train, F_test).astype(dtype)  # (N, M)
     mean = K_ts.T @ alpha
 
-    sol = cg_solve(A, K_ts, cg_tol, cg_maxiter, diag)
+    sol = cg_solve(A, K_ts, cg_tol, cg_maxiter, precond)
     var = k_diag(F_test) - jnp.sum(K_ts * sol.x, axis=0)
     return mean, jnp.maximum(var, 1e-10), res
 
@@ -338,3 +354,67 @@ def nll_large(
     ld = 0.5 * logdet
     return ld + quad + const, {"log_det_term": ld, "quadratic_term": quad,
                                "constant_term": const}
+
+
+# ---------------------------------------------------------------------------
+# Pivoted-Cholesky preconditioner (matrix-free, GPyTorch-style)
+# ---------------------------------------------------------------------------
+
+
+def pivoted_cholesky(
+    spec: QuantumKernelSpec,
+    F: jax.Array,            # (N, D) features
+    rank: int,
+    jitter: float = 1e-12,
+) -> jax.Array:
+    """Rank-``rank`` pivoted Cholesky of K from features, matrix-free.
+
+    Greedy diagonal pivoting; each step evaluates ONE kernel row (N kernel
+    entries) — total work O(rank * N * D) + O(rank^2 * N). Returns L with
+    K ≈ L^T L, L: (rank, N). Jittable (static rank)."""
+    n = F.shape[0]
+    dtype = jnp.float32 if F.dtype == jnp.float32 else jnp.float64
+
+    if spec.kernel_type == "fidelity":
+        d0 = jnp.ones((n,), dtype)
+    else:
+        d0 = outer_diag(spec.outer_kernel, F, spec.outer_params).astype(dtype)
+
+    def body(j, carry):
+        L, d = carry
+        i = jnp.argmax(d)
+        F_i = jax.lax.dynamic_slice_in_dim(F, i, 1, 0)          # (1, D)
+        row = gram_from_features(spec, F, F_i)[:, 0].astype(dtype)  # (N,)
+        L_col_i = jax.lax.dynamic_slice_in_dim(L, i, 1, 1)[:, 0]    # (rank,)
+        row = row - L.T @ L_col_i
+        piv = jnp.sqrt(jnp.maximum(d[i], jitter))
+        l_j = row / piv
+        # zero any contribution once the residual diagonal is exhausted
+        l_j = jnp.where(d[i] > jitter, l_j, jnp.zeros_like(l_j))
+        L = jax.lax.dynamic_update_slice_in_dim(L, l_j[None, :], j, 0)
+        d = jnp.maximum(d - l_j * l_j, 0.0)
+        return L, d
+
+    L0 = jnp.zeros((rank, n), dtype)
+    L, _ = jax.lax.fori_loop(0, rank, body, (L0, d0))
+    return L
+
+
+def woodbury_preconditioner(L: jax.Array, sigma2: float):
+    """Callable applying (sigma^2 I + L^T L)^{-1} via Woodbury.
+
+    L: (rank, N) from ``pivoted_cholesky``. Cost per application:
+    two (rank x N) matmuls + one small triangular solve pair."""
+    from jax.scipy.linalg import cho_factor, cho_solve
+
+    rank = L.shape[0]
+    small = sigma2 * jnp.eye(rank, dtype=L.dtype) + L @ L.T
+    cf = cho_factor(small)
+
+    def apply(r):
+        # (sigma^2 I + U U^T)^{-1} r,  U = L^T
+        Lr = L @ r                       # (rank, R)
+        corr = L.T @ cho_solve(cf, Lr)   # (N, R)
+        return (r - corr) / sigma2
+
+    return apply

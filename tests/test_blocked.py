@@ -87,3 +87,42 @@ def test_gram_free_blocked_cholesky_matches_dense():
         compute_cond=False,
     )
     assert np.isclose(float(nll), float(ref.nll), rtol=1e-10)
+
+
+def test_pivoted_cholesky_approximates_gram():
+    from dqgp_tpu.parallel.blocked import pivoted_cholesky
+
+    spec, X, theta, F, Y = _setup(N=60, seed=9)
+    F64 = F.astype(jnp.float64)
+    K = np.asarray(gram_from_features(spec, F64), np.float64)
+    L = np.asarray(pivoted_cholesky(spec, F64, rank=40))
+    err_40 = np.linalg.norm(K - L.T @ L) / np.linalg.norm(K)
+    L10 = np.asarray(pivoted_cholesky(spec, F64, rank=10))
+    err_10 = np.linalg.norm(K - L10.T @ L10) / np.linalg.norm(K)
+    assert err_40 < err_10  # monotone improvement
+    assert err_40 < 1e-5    # smooth kernel -> fast spectral decay
+
+
+def test_preconditioned_cg_converges_faster():
+    from dqgp_tpu.parallel.blocked import (
+        cg_solve, gram_matvec, pivoted_cholesky, woodbury_preconditioner,
+    )
+
+    spec, X, theta, F, Y = _setup(N=80, seed=10)
+    F64 = F.astype(jnp.float64)
+    mask = jnp.ones(80, jnp.float64)
+    sigma2 = 0.01
+
+    def A(v):
+        return gram_matvec(spec, F64, v, mask, block=32) + sigma2 * v
+
+    b = jnp.asarray(Y, jnp.float64)[:, None]
+    jacobi = jnp.ones(80, jnp.float64) + sigma2
+    res_j = cg_solve(A, b, tol=1e-8, maxiter=300, diag_precond=jacobi)
+    Lp = pivoted_cholesky(spec, F64, rank=40)
+    res_p = cg_solve(A, b, tol=1e-8, maxiter=300,
+                     diag_precond=woodbury_preconditioner(Lp, sigma2))
+    assert int(res_p.iterations) < int(res_j.iterations)
+    # both converge to the same solution
+    np.testing.assert_allclose(np.asarray(res_p.x), np.asarray(res_j.x),
+                               rtol=1e-4, atol=1e-7)
