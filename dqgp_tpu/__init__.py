@@ -51,3 +51,23 @@ jax.config.update("jax_default_matmul_precision", "highest")
 __version__ = "0.1.0"
 
 from . import manifold  # noqa: E402,F401
+
+
+def __getattr__(name):  # lazy top-level conveniences (avoid import cycles)
+    if name in ("QuantumKernelSpec", "QuantumKernel", "create_quantum_kernel"):
+        from .models import kernels as _k
+
+        return getattr(_k, name)
+    if name == "build_circuit":
+        from .models.circuits import build_circuit
+
+        return build_circuit
+    if name in ("TrainConfig", "TrainResult", "train"):
+        from . import driver as _d
+
+        return getattr(_d, name)
+    if name == "RiemannianAgent":
+        from .agent import RiemannianAgent
+
+        return RiemannianAgent
+    raise AttributeError(name)
