@@ -84,7 +84,12 @@ def _cv_fold_scores(
     # "float32" trades ~1e-4 NLPD noise for ~10x faster folds on emulated-f64
     # TPU backends (model selection only needs NLPD ordering).
     if dtype == jnp.float64:
-        F = F.astype(jnp.complex128 if spec.kernel_type == "fidelity" else dtype)
+        if spec.kernel_type == "fidelity":
+            # complex128 is CPU-only (TPU backends cannot convert c64->c128)
+            if jax.default_backend() == "cpu":
+                F = F.astype(jnp.complex128)
+        else:
+            F = F.astype(dtype)
 
     def fold(tr_idx, tr_mask, va_idx, va_mask):
         tr_mask = tr_mask.astype(dtype)

@@ -162,7 +162,11 @@ def predict_quantum_gp(
     """
     if jax.config.jax_enable_x64:
         dtype = jnp.float64
-        fdtype = jnp.complex128 if spec.kernel_type == "fidelity" else dtype
+        # complex128 is CPU-only: TPU backends cannot even convert c64->c128
+        # ("Unsupported CVT X64 expansion"); the fidelity Gram is then built
+        # in c64 and upcast after the matmul.
+        on_cpu = jax.default_backend() == "cpu"
+        fdtype = (jnp.complex128 if on_cpu else jnp.complex64)             if spec.kernel_type == "fidelity" else dtype
     else:
         dtype = jnp.float32
         fdtype = jnp.complex64 if spec.kernel_type == "fidelity" else jnp.float32
