@@ -12,6 +12,16 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+def download_file_if_not_exists(url: str, filename: str, description: str = "file"):
+    """urllib fetch helper (real_world_datasets.py:17-28; unused by the SRTM
+    path there too — tiles are expected on local disk)."""
+    if not os.path.exists(filename):
+        import urllib.request
+
+        urllib.request.urlretrieve(url, filename)
+    return filename
+
+
 # --------------------------------------------------------------------------
 # Sea surface temperature — real_world_datasets.py:30-120
 # --------------------------------------------------------------------------
