@@ -418,3 +418,130 @@ def woodbury_preconditioner(L: jax.Array, sigma2: float):
         return (r - corr) / sigma2
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# Distributed Gram-free blocked Cholesky (rows sharded over a mesh axis)
+# ---------------------------------------------------------------------------
+
+
+def make_distributed_cholesky_nll(
+    spec: QuantumKernelSpec,
+    mesh,
+    noise_std: float,
+    n_total: int,
+    block: int = 1024,
+    jitter: float = 1e-6,
+    dtype=jnp.float32,
+    data_axis: str = "data",
+):
+    """Exact GP NLL at multi-chip scale: a right-looking blocked Cholesky of
+    (K + sigma^2 I) with the L factor ROW-SHARDED over ``data_axis`` — no chip
+    ever holds the full factor, and K panels are generated on the fly from the
+    (tiny, all-gathered) feature matrix.
+
+    Per panel k: every device forms its local rows of the k-th Gram panel,
+    the B x N row-strip of L owned by the diagonal device is reconstructed via
+    a masked psum, the B x B diagonal Cholesky is computed redundantly, and
+    each device triangular-solves its own rows. The forward substitution for
+    the quadratic term walks the same block structure (one psum per block).
+
+    Requires: n_total divisible by block; (n_total / block) divisible by the
+    mesh size (each device owns an integer number of row blocks).
+
+    Returns fn(F_local, y_local) -> (nll, components) with F (N, D) and y (N,)
+    sharded along rows; outputs replicated.
+    """
+    from jax.scipy.linalg import solve_triangular
+    from jax.sharding import PartitionSpec as P
+
+    _check_no_regularization(spec)
+    n_dev = mesh.shape[data_axis]
+    if n_total % block != 0:
+        raise ValueError(f"n_total={n_total} must be divisible by block={block}")
+    nb = n_total // block
+    if nb % n_dev != 0:
+        raise ValueError(f"block count {nb} must divide over {n_dev} devices")
+    rows_local = n_total // n_dev
+    sigma2 = noise_std**2 + jitter
+
+    def body(F_local, y_local):
+        d = jax.lax.axis_index(data_axis)
+        row0 = d * rows_local
+        row_ids = row0 + jnp.arange(rows_local)                  # global rows
+        F_full = jax.lax.all_gather(F_local, data_axis, tiled=True)
+
+        def k_panel_local(k):
+            """Local rows of (K + sigma^2 I)[:, kB:(k+1)B]."""
+            F_k = jax.lax.dynamic_slice_in_dim(F_full, k * block, block, 0)
+            Pnl = gram_from_features(spec, F_local, F_k).astype(dtype)
+            col_ids = k * block + jnp.arange(block)[None, :]
+            on_diag = (row_ids[:, None] == col_ids).astype(dtype)
+            return Pnl + sigma2 * on_diag
+
+        def extract_strip(M_local, k):
+            """Masked-psum reconstruction of global rows [kB, (k+1)B) of a
+            row-sharded matrix — replicated on every device."""
+            owner_first = k * block - row0
+            strip = jax.lax.dynamic_slice_in_dim(
+                M_local, jnp.clip(owner_first, 0, rows_local - block), block, 0
+            )
+            owns = jnp.logical_and(owner_first >= 0,
+                                   owner_first <= rows_local - block)
+            strip = jnp.where(owns, strip, jnp.zeros_like(strip))
+            return jax.lax.psum(strip, data_axis)
+
+        def chol_step(k, L_local):
+            panel = k_panel_local(k)                             # (rows_local, B)
+            L_krows = extract_strip(L_local, k)                  # (B, N)
+            T_local = panel - L_local @ L_krows.T                # (rows_local, B)
+            S_kk = extract_strip(T_local, k)                     # (B, B) via psum?
+            # extract_strip works on (rows_local, B) too: strip is (B, B)
+            L_kk = jnp.linalg.cholesky(S_kk)
+            panel_L = solve_triangular(L_kk, T_local.T, lower=True).T
+            below = (row_ids[:, None] >= (k + 1) * block).astype(dtype)
+            panel_out = panel_L * below
+            # the owner writes tril(L_kk) into its diagonal rows
+            col_rel = jnp.arange(block)[None, :]
+            row_rel = row_ids[:, None] - k * block
+            in_diag_block = jnp.logical_and(row_rel >= 0, row_rel < block)
+            diag_vals = jnp.take(
+                jnp.tril(L_kk), jnp.clip(row_rel, 0, block - 1)[:, 0], axis=0
+            )
+            panel_out = jnp.where(in_diag_block, diag_vals, panel_out)
+            return jax.lax.dynamic_update_slice_in_dim(
+                L_local, panel_out, k * block, 1
+            )
+
+        L0 = jnp.zeros((rows_local, n_total), dtype)
+        # mark the carry as device-varying along the data axis (shard_map VMA)
+        L0 = jax.lax.pvary(L0, (data_axis,))
+        L_local = jax.lax.fori_loop(0, nb, chol_step, L0)
+
+        # logdet: local diagonal entries live where global row == column
+        diag_local = L_local[jnp.arange(rows_local), row_ids]
+        logdet = jax.lax.psum(2.0 * jnp.sum(jnp.log(diag_local)), data_axis)
+
+        # forward substitution L w = y over blocks (one psum per block)
+        y_loc = y_local.astype(dtype)
+
+        def fwd_step(k, w_full):
+            L_krows = extract_strip(L_local, k)                  # (B, N)
+            y_k = extract_strip(y_loc[:, None], k)[:, 0]         # (B,)
+            L_kk_cols = jax.lax.dynamic_slice_in_dim(L_krows, k * block, block, 1)
+            rhs = y_k - L_krows @ w_full
+            w_k = solve_triangular(L_kk_cols, rhs, lower=True)
+            return jax.lax.dynamic_update_slice_in_dim(w_full, w_k, k * block, 0)
+
+        w = jax.lax.fori_loop(0, nb, fwd_step, jnp.zeros((n_total,), dtype))
+        quad = 0.5 * jnp.sum(w * w)
+        ld = 0.5 * logdet
+        const = 0.5 * n_total * jnp.log(2.0 * jnp.pi)
+        nll = ld + quad + const
+        return nll, ld, quad, const
+
+    return jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(data_axis), P(data_axis)),
+        out_specs=(P(), P(), P(), P()),
+    ))

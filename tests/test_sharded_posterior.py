@@ -45,3 +45,36 @@ def test_sharded_posterior_matches_dense():
     want_mean, want_var = predict_quantum_gp(spec, Xtr, Y, Xte, theta, noise_std=0.1)
     np.testing.assert_allclose(np.asarray(mean), np.asarray(want_mean), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(var), np.asarray(want_var), rtol=1e-3, atol=1e-6)
+
+
+def test_distributed_cholesky_nll_matches_dense():
+    from dqgp_tpu.parallel.blocked import make_distributed_cholesky_nll
+    from dqgp_tpu.models.gp.posterior import masked_nll_and_grad
+    from dqgp_tpu.models.kernels.quantum_kernel import gram_from_features
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    spec = QuantumKernelSpec(
+        circuit=build_circuit("hubregtsen", 3, 2, 1),
+        kernel_type="projected", outer_kernel="gaussian",
+    )
+    rng = np.random.RandomState(3)
+    N, block = 128, 16  # 8 blocks over 4 devices
+    X = jnp.asarray(rng.uniform(-0.9, 0.9, (N, 2)), jnp.float32)
+    theta = jnp.asarray(rng.uniform(0, np.pi, spec.num_parameters), jnp.float32)
+    F = kernel_features(spec, X, theta).astype(jnp.float64)
+    Y = jnp.asarray(np.sin(np.asarray(X)[:, 0]) + 0.05 * rng.randn(N))
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    fn = make_distributed_cholesky_nll(spec, mesh, noise_std=0.1, n_total=N,
+                                       block=block, jitter=0.0, dtype=jnp.float64)
+    shard = NamedSharding(mesh, P("data"))
+    nll, ld, quad, const = fn(jax.device_put(F, shard),
+                              jax.device_put(Y.astype(jnp.float64), shard))
+
+    K = np.asarray(gram_from_features(spec, F), np.float64)
+    ref = masked_nll_and_grad(jnp.asarray(K), jnp.zeros((0, N, N)), Y,
+                              jnp.ones(N), 0.1, compute_cond=False)
+    assert np.isclose(float(nll), float(ref.nll), rtol=1e-10)
+    assert np.isclose(float(ld), float(ref.log_det_term), rtol=1e-10)
+    assert np.isclose(float(quad), float(ref.quadratic_term), rtol=1e-9)
