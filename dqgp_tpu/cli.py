@@ -127,6 +127,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a jax.profiler trace of the training loop "
                              "into this directory (view with TensorBoard/XProf)")
+    parser.add_argument("--verbose-agents", action="store_true",
+                        help="reference-style per-agent NLL component and "
+                             "condition-number report every iteration")
     parser.add_argument("--quiet", action="store_true")
     return parser
 
@@ -315,6 +318,7 @@ def main(argv=None):
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         verbose=not args.quiet,
+        verbose_agents=args.verbose_agents,
     )
     if args.profile_dir:
         import jax as _jax

@@ -57,6 +57,7 @@ class TrainConfig:
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 10
     verbose: bool = True
+    verbose_agents: bool = False    # reference-style per-agent NLL/cond report
 
 
 @dataclasses.dataclass
@@ -274,6 +275,15 @@ def train(
             f"cv_nlpd={cvs:.4f}  max||z-th||={max_norm:.6f}  "
             f"dz={z_change:.6f}  {it_time:.3f}s"
         )
+        if cfg.verbose and cfg.verbose_agents:
+            # per-agent NLL components and condition-number buckets
+            # (main.py:2557-2643 reporting)
+            for i in range(n_agents):
+                c = conds[i]
+                status = "Good" if c < 1e12 else ("Moderate" if c < 1e15 else "Poor")
+                log(f"    Agent {i+1}: NLL={nll[i]:.6f} "
+                    f"[LogDet={lds[i]:.4f}, Quad={quads[i]:.4f}, "
+                    f"Const={consts[i]:.4f}]  cond={c:.2e} ({status})")
 
         if cfg.checkpoint_dir and it % cfg.checkpoint_every == 0:
             save_checkpoint(
