@@ -29,3 +29,11 @@ def pallas_enabled(num_qubits: int) -> bool:
         return True
     backend = jax.default_backend()
     return backend not in ("cpu",) and num_qubits >= PALLAS_MIN_QUBITS
+
+
+def supports_complex128() -> bool:
+    """complex128 exists on CPU and GPU; TPU-class backends cannot even
+    convert c64->c128 ("Unsupported CVT X64 expansion")."""
+    import jax
+
+    return jax.default_backend() in ("cpu", "gpu", "cuda", "rocm")

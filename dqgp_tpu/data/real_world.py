@@ -18,6 +18,7 @@ def download_file_if_not_exists(url: str, filename: str, description: str = "fil
     if not os.path.exists(filename):
         import urllib.request
 
+        print(f"Downloading {description} from {url}...")
         urllib.request.urlretrieve(url, filename)
     return filename
 

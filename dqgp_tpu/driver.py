@@ -280,7 +280,10 @@ def train(
             # (main.py:2557-2643 reporting)
             for i in range(n_agents):
                 c = conds[i]
-                status = "Good" if c < 1e12 else ("Moderate" if c < 1e15 else "Poor")
+                if not np.isfinite(c):
+                    status = "n/a"  # compute_cond disabled
+                else:
+                    status = "Good" if c < 1e12 else ("Moderate" if c < 1e15 else "Poor")
                 log(f"    Agent {i+1}: NLL={nll[i]:.6f} "
                     f"[LogDet={lds[i]:.4f}, Quad={quads[i]:.4f}, "
                     f"Const={consts[i]:.4f}]  cond={c:.2e} ({status})")

@@ -85,8 +85,9 @@ def _cv_fold_scores(
     # TPU backends (model selection only needs NLPD ordering).
     if dtype == jnp.float64:
         if spec.kernel_type == "fidelity":
-            # complex128 is CPU-only (TPU backends cannot convert c64->c128)
-            if jax.default_backend() == "cpu":
+            from ... import config as _config
+
+            if _config.supports_complex128():
                 F = F.astype(jnp.complex128)
         else:
             F = F.astype(dtype)

@@ -22,7 +22,7 @@ N=50k), only the Gram is huge (50k^2 f32 = 10 GB). So:
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -87,7 +87,7 @@ def cg_solve(
     b: jax.Array,            # (N, R) — the local row shard when axis_name set
     tol: float = 1e-6,
     maxiter: int = 256,
-    diag_precond: Optional[jax.Array] = None,  # (N,) or a callable r -> M^{-1} r
+    diag_precond: Optional[Union[jax.Array, Callable]] = None,  # (N,) diag or r -> M^{-1} r
     axis_name: Optional[str] = None,
 ) -> CGResult:
     """Preconditioned CG, batched over RHS columns (jittable).
@@ -431,7 +431,7 @@ def make_distributed_cholesky_nll(
     noise_std: float,
     n_total: int,
     block: int = 1024,
-    jitter: float = 1e-6,
+    jitter: float = 0.0,  # matches nll_large / the reference agent NLL (no jitter)
     dtype=jnp.float32,
     data_axis: str = "data",
 ):
@@ -449,8 +449,9 @@ def make_distributed_cholesky_nll(
     Requires: n_total divisible by block; (n_total / block) divisible by the
     mesh size (each device owns an integer number of row blocks).
 
-    Returns fn(F_local, y_local) -> (nll, components) with F (N, D) and y (N,)
-    sharded along rows; outputs replicated.
+    Returns fn(F_local, y_local) -> (nll, log_det_term, quadratic_term,
+    constant_term) with F (N, D) and y (N,) sharded along rows; outputs
+    replicated scalars.
     """
     from jax.scipy.linalg import solve_triangular
     from jax.sharding import PartitionSpec as P
@@ -495,14 +496,12 @@ def make_distributed_cholesky_nll(
             panel = k_panel_local(k)                             # (rows_local, B)
             L_krows = extract_strip(L_local, k)                  # (B, N)
             T_local = panel - L_local @ L_krows.T                # (rows_local, B)
-            S_kk = extract_strip(T_local, k)                     # (B, B) via psum?
-            # extract_strip works on (rows_local, B) too: strip is (B, B)
+            S_kk = extract_strip(T_local, k)                     # (B, B) diagonal block
             L_kk = jnp.linalg.cholesky(S_kk)
             panel_L = solve_triangular(L_kk, T_local.T, lower=True).T
             below = (row_ids[:, None] >= (k + 1) * block).astype(dtype)
             panel_out = panel_L * below
             # the owner writes tril(L_kk) into its diagonal rows
-            col_rel = jnp.arange(block)[None, :]
             row_rel = row_ids[:, None] - k * block
             in_diag_block = jnp.logical_and(row_rel >= 0, row_rel < block)
             diag_vals = jnp.take(
@@ -515,7 +514,10 @@ def make_distributed_cholesky_nll(
 
         L0 = jnp.zeros((rows_local, n_total), dtype)
         # mark the carry as device-varying along the data axis (shard_map VMA)
-        L0 = jax.lax.pvary(L0, (data_axis,))
+        try:
+            L0 = jax.lax.pcast(L0, (data_axis,), to="varying")
+        except (AttributeError, TypeError):  # older jax spells it pvary
+            L0 = jax.lax.pvary(L0, (data_axis,))
         L_local = jax.lax.fori_loop(0, nb, chol_step, L0)
 
         # logdet: local diagonal entries live where global row == column
