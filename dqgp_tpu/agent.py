@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .manifold import TorusManifold, create_riemannian_framework
-from .models.kernels.quantum_kernel import QuantumKernel, QuantumKernelSpec
+from .models.kernels.quantum_kernel import QuantumKernel
 from .parallel.consensus import _agent_local
 
 

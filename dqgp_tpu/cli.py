@@ -19,8 +19,6 @@ import argparse
 import json
 import os
 import time
-from typing import Optional
-
 import numpy as np
 
 

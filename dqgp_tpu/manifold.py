@@ -24,7 +24,6 @@ reproduced here behind ``signed_log=False`` defaults):
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Literal, NamedTuple, Optional, Tuple
 
 import jax

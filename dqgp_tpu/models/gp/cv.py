@@ -15,13 +15,12 @@ main.py:2665); folds are padded to static shapes and masked.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.linalg import masked_identity_pad
 from ..kernels.quantum_kernel import (
     QuantumKernelSpec,
     gram_from_features,

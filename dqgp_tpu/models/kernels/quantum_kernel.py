@@ -19,8 +19,7 @@ changes the physics near the period boundary, so it is load-bearing).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Dict, Optional, Sequence, Tuple, Union
+from typing import Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ as the numerics oracle; ``interpret=True`` makes the kernel testable on CPU.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -16,9 +16,6 @@ module is the always-correct fallback and the numerics oracle for it.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,6 @@ N=50k), only the Gram is huge (50k^2 f32 = 10 GB). So:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple, Union
 
 import jax

@@ -21,7 +21,6 @@ z; 4-decimal rounding of z / gradient / theta / psi in parity mode
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import NamedTuple, Optional, Sequence, Tuple
 

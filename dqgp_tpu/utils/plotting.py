@@ -6,7 +6,7 @@ convergence histories. All savers, headless-safe (Agg backend)."""
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 
