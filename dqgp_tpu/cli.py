@@ -257,6 +257,11 @@ def main(argv=None):
     else:
         log("=== Quantum Dataset Generation Mode ===")
         dataset_name = "quantum"
+        # recommended sample sizes per dimension (main.py:2216-2226)
+        recommended = {1: 1000, 2: 32400, 3: 16900, 4: 32400, 5: 16900, 6: 32400}
+        if args.n_dataset != recommended.get(input_dim, args.n_dataset):
+            log(f"Note: Recommended sample size for {input_dim}D: "
+                f"{recommended.get(input_dim)}")
         spec = make_spec(input_dim)
         t0 = time.time()
         X_full, Y_full, ground_truth_params = generate_quantum_gp_data(

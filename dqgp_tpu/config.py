@@ -28,7 +28,9 @@ def pallas_enabled(num_qubits: int) -> bool:
     if mode == "on":
         return True
     backend = jax.default_backend()
-    return backend not in ("cpu",) and num_qubits >= PALLAS_MIN_QUBITS
+    # the kernel is written in pallas.tpu — only TPU-class backends qualify
+    return (backend not in ("cpu", "gpu", "cuda", "rocm")
+            and num_qubits >= PALLAS_MIN_QUBITS)
 
 
 def supports_complex128() -> bool:
