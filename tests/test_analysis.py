@@ -59,3 +59,18 @@ def test_real_world_plot_written(tmp_path):
     p3 = plotting.plot_real_world_dataset(X3, rng.rand(100), "robot_push",
                                           save_plot=True, output_dir=str(tmp_path))
     assert p3 and os.path.exists(p3)
+
+
+def test_plot_dataset_branches(tmp_path):
+    rng = np.random.RandomState(1)
+    for d in (1, 2, 4):
+        X = rng.rand(40, d)
+        Y = rng.rand(40)
+        p = plotting.plot_dataset(X, Y, save_plot=True, output_dir=str(tmp_path / f"d{d}"))
+        import os
+        assert p and os.path.exists(p), d
+    # train/test coloring branch
+    p = plotting.plot_dataset(rng.rand(30, 1), rng.rand(30), save_plot=True,
+                              output_dir=str(tmp_path / "tt"),
+                              train_indices=np.arange(20), test_indices=np.arange(20, 30))
+    assert p
