@@ -279,11 +279,36 @@ def gram_free_blocked_cholesky(
     itself (f32: 10 GB at N=50k) plus one (N, block) panel — the reference's
     dense f64 K + LAPACK path needs 40 GB before factoring even starts.
 
-    Maintains the invariant that columns >= the current panel are zero, which
-    lets the trailing correction use full-width matmuls (MXU-shaped) with no
-    triangular masking. Returns (L, logdet) with logdet of the padded system
-    equal to the true logdet (padded rows contribute log(1) = 0).
+    L is stored as (nb, n_pad, block) panel slabs and each iteration writes
+    slab k via a leading-axis dynamic-update-slice — XLA reliably aliases
+    that in-place across fori_loop iterations, whereas updating column
+    blocks of a flat (N, N) buffer duplicated the whole factor in HBM
+    (observed 24 GB at N=50k). Maintains the invariant that slabs >= the
+    current panel are zero, so the trailing correction is one einsum over
+    the slab axis with no triangular masking.
+
+    Returns (L, logdet) with L reassembled as (n_pad, n_pad) and logdet of
+    the padded system equal to the true logdet (padded rows contribute
+    log(1) = 0).
     """
+    L_slabs, logdet, n_pad = _gram_free_blocked_cholesky_slabs(
+        spec, F, noise_std, jitter, block, dtype
+    )
+    # (nb, n_pad, block) -> (n_pad, nb*block)
+    L = jnp.transpose(L_slabs, (1, 0, 2)).reshape(n_pad, n_pad)
+    return L, logdet
+
+
+def _gram_free_blocked_cholesky_slabs(
+    spec: QuantumKernelSpec,
+    F: jax.Array,
+    noise_std: float,
+    jitter: float = 1e-6,
+    block: int = 1024,
+    dtype=jnp.float32,
+):
+    from jax.scipy.linalg import solve_triangular
+
     _check_no_regularization(spec)
     n = F.shape[0]
     n_pad = ((n + block - 1) // block) * block
@@ -299,34 +324,40 @@ def gram_free_blocked_cholesky(
         m_k = jax.lax.dynamic_slice_in_dim(mask, k * block, block, 0)
         P = gram_from_features(spec, F, F_k).astype(dtype)
         P = P * (mask[:, None] * m_k[None, :])
-        # sigma^2 on the real diagonal, 1 on the padded diagonal of this panel
         row_ids = jnp.arange(n_pad)[:, None]
         col_ids = k * block + jnp.arange(block)[None, :]
         on_diag = (row_ids == col_ids).astype(dtype)
         return P + on_diag * (sigma2 * m_k[None, :] + (1.0 - m_k[None, :]))
 
-    def body(k, L):
+    def body(k, L_slabs):
         panel = k_panel(k)                                  # (n_pad, block)
-        Lk_rows = jax.lax.dynamic_slice_in_dim(L, k * block, block, 0)
-        corr = L @ Lk_rows.T                                # (n_pad, block)
+        # rows k*block..(k+1)*block of every slab: (nb, block, block)
+        slab_krows = jax.lax.dynamic_slice_in_dim(L_slabs, k * block, block, 1)
+        # correction = L[:, :] @ L[kB:(k+1)B, :]^T summed over slabs
+        corr = jnp.einsum("jnb,jcb->nc", L_slabs, slab_krows)
         T = panel - corr
         S_kk = jax.lax.dynamic_slice_in_dim(T, k * block, block, 0)
         L_kk = jnp.linalg.cholesky(S_kk)
-        from jax.scipy.linalg import solve_triangular
-
         panel_L = solve_triangular(L_kk, T.T, lower=True).T  # T @ L_kk^{-T}
-        # zero rows above (and inside) the diagonal block, then add L_kk
         row_ids = jnp.arange(n_pad)[:, None]
         below = (row_ids >= (k + 1) * block).astype(dtype)
         panel_out = panel_L * below
         panel_out = jax.lax.dynamic_update_slice_in_dim(
             panel_out, jnp.tril(L_kk), k * block, 0
         )
-        return jax.lax.dynamic_update_slice_in_dim(L, panel_out, k * block, 1)
+        return L_slabs.at[k].set(panel_out)
 
-    L = jax.lax.fori_loop(0, nb, body, jnp.zeros((n_pad, n_pad), dtype))
-    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
-    return L, logdet
+    L_slabs = jax.lax.fori_loop(
+        0, nb, body, jnp.zeros((nb, n_pad, block), dtype)
+    )
+    # diagonal entries: slab k holds columns kB..(k+1)B; its rows kB..(k+1)B
+    diag_blocks = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(L_slabs[k], k * block, block, 0)
+        for k in range(nb)
+    ])  # (nb, block, block)
+    diag = jnp.diagonal(diag_blocks, axis1=1, axis2=2).reshape(-1)
+    logdet = 2.0 * jnp.sum(jnp.log(diag))
+    return L_slabs, logdet, n_pad
 
 
 def nll_large(
@@ -341,13 +372,29 @@ def nll_large(
     """Exact GP NLL (+components) at scale via the Gram-free blocked Cholesky.
 
     Matches agent_riemannian.py:442-460 semantics: 0.5 logdet + 0.5 y^T C^{-1} y
-    + 0.5 N log(2 pi) with C = K + sigma^2 I."""
+    + 0.5 N log(2 pi) with C = K + sigma^2 I. Works on the (nb, n_pad, block)
+    slab factor directly (block forward substitution), so peak memory stays
+    one L factor + one panel."""
     from jax.scipy.linalg import solve_triangular
 
     n = F.shape[0]
-    L, logdet = gram_free_blocked_cholesky(spec, F, noise_std, jitter, block, dtype)
-    y_pad = jnp.pad(y.astype(dtype), (0, L.shape[0] - n))
-    w = solve_triangular(L, y_pad, lower=True)
+    L_slabs, logdet, n_pad = _gram_free_blocked_cholesky_slabs(
+        spec, F, noise_std, jitter, block, dtype
+    )
+    nb = n_pad // block
+    y_pad = jnp.pad(y.astype(dtype), (0, n_pad - n))
+
+    def fwd(k, w):
+        # global rows kB..(k+1)B of L across all slabs: (nb, block, block)
+        krows = jax.lax.dynamic_slice_in_dim(L_slabs, k * block, block, 1)
+        y_k = jax.lax.dynamic_slice_in_dim(y_pad, k * block, block, 0)
+        # rhs = y_k - L[kB:(k+1)B, :] @ w  (columns j > k of L are zero)
+        rhs = y_k - jnp.einsum("jcb,jb->c", krows, w)
+        L_kk = jax.lax.dynamic_slice_in_dim(krows, k, 1, 0)[0]
+        w_k = solve_triangular(L_kk, rhs, lower=True)
+        return w.at[k].set(w_k)
+
+    w = jax.lax.fori_loop(0, nb, fwd, jnp.zeros((nb, block), dtype))
     quad = 0.5 * jnp.sum(w * w)
     const = 0.5 * n * jnp.log(2.0 * jnp.pi)
     ld = 0.5 * logdet

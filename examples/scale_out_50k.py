@@ -42,7 +42,8 @@ Y = jnp.asarray(np.sin(3 * np.asarray(X)[:N, 0]) + 0.1 * rng.randn(N), jnp.float
 
 t0 = time.time()
 mean, var, res = gp_posterior_large(
-    spec, F_tr, Y, F_te, noise_std=0.1, block=4096, cg_tol=1e-5, cg_maxiter=400
+    spec, F_tr, Y, F_te, noise_std=0.1, block=4096, cg_tol=1e-5, cg_maxiter=600,
+    precond_rank=256,
 )
 jax.block_until_ready((mean, var))
 print(f"CG posterior (mean+var for {M} test pts): {time.time() - t0:.2f}s, "
