@@ -21,6 +21,7 @@ N=50k), only the Gram is huge (50k^2 f32 = 10 GB). So:
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, NamedTuple, Optional, Tuple, Union
 
 import jax
@@ -374,9 +375,29 @@ def nll_large(
     Matches agent_riemannian.py:442-460 semantics: 0.5 logdet + 0.5 y^T C^{-1} y
     + 0.5 N log(2 pi) with C = K + sigma^2 I. Works on the (nb, n_pad, block)
     slab factor directly (block forward substitution), so peak memory stays
-    one L factor + one panel."""
+    one L factor + one panel (the whole computation runs as ONE jitted
+    program — an un-jitted fori_loop holds input AND output copies of the
+    factor, doubling HBM)."""
+    nll, ld, quad, const = _nll_large_jit(
+        spec, F, y, noise_std=float(noise_std), jitter=float(jitter),
+        block=int(block), dtype_name=jnp.dtype(dtype).name,
+    )
+    return nll, {"log_det_term": ld, "quadratic_term": quad, "constant_term": const}
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("noise_std", "jitter", "block", "dtype_name"))
+def _nll_large_jit(
+    spec: QuantumKernelSpec,
+    F: jax.Array,
+    y: jax.Array,
+    noise_std: float = 0.1,
+    jitter: float = 0.0,
+    block: int = 1024,
+    dtype_name: str = "float32",
+):
     from jax.scipy.linalg import solve_triangular
 
+    dtype = jnp.dtype(dtype_name)
     n = F.shape[0]
     L_slabs, logdet, n_pad = _gram_free_blocked_cholesky_slabs(
         spec, F, noise_std, jitter, block, dtype
@@ -398,8 +419,7 @@ def nll_large(
     quad = 0.5 * jnp.sum(w * w)
     const = 0.5 * n * jnp.log(2.0 * jnp.pi)
     ld = 0.5 * logdet
-    return ld + quad + const, {"log_det_term": ld, "quadratic_term": quad,
-                               "constant_term": const}
+    return ld + quad + const, ld, quad, const
 
 
 # ---------------------------------------------------------------------------

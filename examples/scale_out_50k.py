@@ -50,6 +50,6 @@ print(f"CG posterior (mean+var for {M} test pts): {time.time() - t0:.2f}s, "
       f"{int(res.iterations)} CG iters, residual {float(res.residual_norm):.2e}")
 
 t0 = time.time()
-nll, comps = nll_large(spec, F_tr, Y, noise_std=0.1, block=4096)
+nll, comps = nll_large(spec, F_tr, Y, noise_std=0.1, block=1024)
 print(f"exact NLL via gram-free blocked Cholesky: {float(nll):.2f} "
       f"({time.time() - t0:.2f}s)")
