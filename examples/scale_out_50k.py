@@ -49,7 +49,11 @@ jax.block_until_ready((mean, var))
 print(f"CG posterior (mean+var for {M} test pts): {time.time() - t0:.2f}s, "
       f"{int(res.iterations)} CG iters, residual {float(res.residual_norm):.2e}")
 
+# Single-chip exact-NLL ceiling is ~37k (f32 factor 5.1 GB; at 50k the
+# factor alone is 9.4 GB and XLA's transient copy exceeds HBM — use
+# make_distributed_cholesky_nll across >=2 chips for that regime).
+n_chol = min(N, 36 * 1024)
 t0 = time.time()
-nll, comps = nll_large(spec, F_tr, Y, noise_std=0.1, block=1024)
-print(f"exact NLL via gram-free blocked Cholesky: {float(nll):.2f} "
+nll, comps = nll_large(spec, F_tr[:n_chol], Y[:n_chol], noise_std=0.1, block=1024)
+print(f"exact NLL via gram-free blocked Cholesky (n={n_chol}): {float(nll):.2f} "
       f"({time.time() - t0:.2f}s)")
