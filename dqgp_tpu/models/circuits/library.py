@@ -211,8 +211,12 @@ def _layered(n: int, d: int, layers: int, seed: int) -> Circuit:
 def _random(n: int, d: int, layers: int, seed: int) -> Circuit:
     """Random circuit, deterministic in (n, d, layers, seed) — mirrors
     squlearn's seeded RandomEncodingCircuit (default seed 0). Draws
-    2*n*layers single/two-qubit gates; every feature and a fresh parameter
-    appear on a fixed schedule so P = n * layers and all features are used."""
+    2*n*layers gate slots. Even slots are trainable feature-encoded
+    rotations (guaranteeing every feature and at least n*layers parameters
+    reach the state); odd slots draw a random extra gate, and the rotation /
+    CRZ outcomes there allocate parameters too — so P is seed-dependent with
+    n*layers <= P <= 2*n*layers, matching RandomEncodingCircuit's behavior of
+    a draw-dependent parameter count."""
     rng = np.random.RandomState(seed)
     gates: List[Gate] = []
     p = 0

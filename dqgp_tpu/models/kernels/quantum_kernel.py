@@ -269,15 +269,15 @@ class QuantumKernel:
         self._parameters = jnp.asarray(params, jnp.float32)
 
     def evaluate(self, XA, XB=None) -> np.ndarray:
+        # Symmetric-vs-cross is decided on Python object identity only — a
+        # value comparison would force a host<->device sync on every call.
         if self._parameters is None:
             raise ValueError("parameters not assigned")
-        XA = jnp.asarray(XA)
-        if XB is None or (XB is XA) or (
-            XB.shape == XA.shape and bool(jnp.all(jnp.asarray(XB) == XA))
-        ):
-            K = self._sym_gram_jit(XA, self._parameters)
+        XA_j = jnp.asarray(XA)
+        if XB is None or XB is XA:
+            K = self._sym_gram_jit(XA_j, self._parameters)
         else:
-            K = self._gram_jit(XA, self._parameters, jnp.asarray(XB))
+            K = self._gram_jit(XA_j, self._parameters, jnp.asarray(XB))
         return np.asarray(K, np.float64)
 
     def evaluate_derivatives(self, XA, XB=None, values=("K", "dKdp"), h=float(np.pi / 8)):

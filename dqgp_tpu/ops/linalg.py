@@ -87,16 +87,66 @@ def solve_psd_with_fallback(C: jax.Array, y: jax.Array, fallback: bool = True,
     return SolveResult(C_inv, C_inv_y, logdet, chol_ok, L_safe)
 
 
-def condition_number(C: jax.Array) -> jax.Array:
-    """2-norm condition number. The reference uses np.linalg.cond (SVD;
-    agent_riemannian.py:411, main.py:1441); for the symmetric Grams it is
-    applied to, |eigenvalues| == singular values, and eigvalsh is far cheaper
-    to compile and run on TPU than SVD. Computed in f32: this is a
-    reporting-only quantity and f64 eigendecompositions compile
-    pathologically slowly on emulated-f64 TPU backends."""
-    w = jnp.abs(jnp.linalg.eigvalsh(C.astype(jnp.float32)))
-    cond = jnp.max(w, axis=-1) / jnp.min(w, axis=-1)
-    return cond.astype(C.dtype)
+def condition_number(C: jax.Array, method: str = "auto") -> jax.Array:
+    """2-norm condition number, resolvable past the reference's reporting
+    buckets at 1e12/1e15 (main.py:2629-2642; np.linalg.cond at
+    agent_riemannian.py:411, main.py:1441 is an f64 SVD).
+
+    An f32 eigendecomposition cannot resolve cond beyond ~1e7 (absolute
+    eigenvalue error ~ eps * lambda_max swamps small eigenvalues), so:
+
+    * ``eigh`` (auto-selected on CPU): f64 ``eigvalsh`` — for the symmetric
+      Grams this is applied to, |eigenvalues| == singular values, and eigh is
+      far cheaper to compile and run than SVD.
+    * ``iterative`` (auto-selected on TPU, where f64 eigendecompositions
+      compile pathologically slowly): f64 power iteration for lambda_max and
+      Cholesky inverse iteration for lambda_min — O(iters * N^2) matvecs /
+      triangular solves, all MXU/VPU-friendly. Accurate to a few percent,
+      ample for order-of-magnitude buckets. Indefinite/singular C (failed
+      f64 Cholesky) reports inf, which lands in the reference's "Poor"
+      bucket just as its ~1e16+ SVD estimates do.
+    """
+    if method == "auto":
+        use_eigh = jax.config.jax_enable_x64 and jax.default_backend() == "cpu"
+    else:
+        use_eigh = method == "eigh"
+    if use_eigh:
+        dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        w = jnp.abs(jnp.linalg.eigvalsh(C.astype(dt)))
+        cond = jnp.max(w, axis=-1) / jnp.min(w, axis=-1)
+        return cond.astype(C.dtype)
+    return _condition_number_iterative(C).astype(C.dtype)
+
+
+def _condition_number_iterative(C: jax.Array, iters: int = 64) -> jax.Array:
+    dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    A = C.astype(dt)
+    n = A.shape[-1]
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)
+    # Deterministic non-degenerate start vector (no RNG inside jit).
+    v0 = jnp.ones((n,), dt) + jnp.linspace(0.0, 0.5, n, dtype=dt)
+    v0 = v0 / jnp.linalg.norm(v0)
+
+    def pow_body(_, v):
+        w = A @ v
+        return w / jnp.maximum(jnp.linalg.norm(w), tiny)
+
+    v = lax.fori_loop(0, iters, pow_body, v0)
+    lam_max = v @ (A @ v)
+
+    L = jnp.linalg.cholesky(A)
+    ok = jnp.all(jnp.isfinite(L))
+    L_safe = jnp.where(ok, L, jnp.eye(n, dtype=dt))
+
+    def inv_body(_, v):
+        w = solve_triangular(L_safe, v, lower=True)
+        w = solve_triangular(L_safe.T, w, lower=False)
+        return w / jnp.maximum(jnp.linalg.norm(w), tiny)
+
+    u = lax.fori_loop(0, iters, inv_body, v0)
+    lam_min = u @ (A @ u)
+    cond = jnp.abs(lam_max) / jnp.maximum(jnp.abs(lam_min), tiny)
+    return jnp.where(ok, cond, jnp.asarray(jnp.inf, dt))
 
 
 def masked_identity_pad(K: jax.Array, mask: jax.Array) -> jax.Array:

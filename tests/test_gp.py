@@ -172,3 +172,44 @@ def test_cv_float32_mode_close_to_f64():
     b = k_fold_cross_validation_consensus(spec, X, Y, theta, noise_std=0.1,
                                           k_folds=3, random_seed=1, cv_dtype="float32")
     assert np.isclose(a["mean_nlpd"], b["mean_nlpd"], rtol=1e-3, atol=1e-4)
+
+
+def _ill_conditioned(n: int = 64, cond: float = 1e13) -> np.ndarray:
+    """SPD matrix with an exactly prescribed condition number."""
+    rng = np.random.RandomState(7)
+    Q, _ = np.linalg.qr(rng.randn(n, n))
+    w = np.logspace(0.0, -np.log10(cond), n)
+    return (Q * w[None, :]) @ Q.T
+
+
+def test_condition_number_resolves_moderate_bucket_eigh():
+    """cond ~ 1e13 must land between the reference's 1e12/1e15 buckets
+    (main.py:2629-2642) — impossible with an f32 eigendecomposition."""
+    from dqgp_tpu.ops.linalg import condition_number
+
+    A = _ill_conditioned(cond=1e13)
+    c = float(condition_number(jnp.asarray(A, jnp.float64), method="eigh"))
+    assert 1e12 < c < 1e15
+    assert np.isclose(c, 1e13, rtol=0.1)
+
+
+def test_condition_number_iterative_matches():
+    """The TPU-path (power + inverse iteration) must bucket identically."""
+    from dqgp_tpu.ops.linalg import condition_number
+
+    for target in (1e6, 1e13):
+        A = _ill_conditioned(cond=target)
+        c = float(condition_number(jnp.asarray(A, jnp.float64), method="iterative"))
+        assert np.isclose(c, target, rtol=0.25), (target, c)
+    # well-conditioned sanity
+    A = _ill_conditioned(cond=50.0)
+    c = float(condition_number(jnp.asarray(A, jnp.float64), method="iterative"))
+    assert np.isclose(c, 50.0, rtol=0.05)
+
+
+def test_condition_number_iterative_indefinite_is_inf():
+    from dqgp_tpu.ops.linalg import condition_number
+
+    A = np.diag(np.array([1.0, -1.0, 2.0]))
+    c = float(condition_number(jnp.asarray(A, jnp.float64), method="iterative"))
+    assert np.isinf(c)
