@@ -97,11 +97,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--apply-outer-kernel-params", action="store_true",
                         help="actually honor --outer-kernel-* values (the reference "
                              "assembles but drops them, SURVEY.md §2.1)")
-    parser.add_argument("--grad-method", choices=["central", "autodiff"],
+    parser.add_argument("--grad-method",
+                        choices=["central", "streamed", "autodiff"],
                         default="central",
                         help="kernel-gradient method: 'central' reproduces the "
-                             "reference's h=pi/8 finite difference; 'autodiff' "
-                             "differentiates through the simulator (exact)")
+                             "reference's h=pi/8 finite difference; 'streamed' "
+                             "is the same difference with O(N^2) live memory "
+                             "(large shards); 'autodiff' differentiates "
+                             "through the simulator (exact)")
     parser.add_argument("--no-parity-round", action="store_true",
                         help="disable the reference's 4-decimal per-iteration quantization")
     parser.add_argument("--no-cv", action="store_true",

@@ -51,7 +51,8 @@ class TrainConfig:
     gp_dtype: str = "float64"       # GP linalg dtype ("float32" for raw TPU speed)
     cv_dtype: str = "float64"       # CV fold dtype ("float32": ~10x faster folds on TPU)
     psd_fallback: bool = True       # compile the eigh-pinv fallback branch
-    grad_method: str = "central"    # "central" (parity) | "autodiff" (exact)
+    grad_method: str = "central"    # "central" (parity) | "streamed" (parity,
+                                    # O(N^2) memory) | "autodiff" (exact)
     run_cv: bool = True             # per-iteration k-fold CV model selection
     n_mesh_devices: Optional[int] = None  # None = all local devices
     checkpoint_dir: Optional[str] = None

@@ -48,19 +48,20 @@ class NLLResult(NamedTuple):
     chol_ok: jax.Array
 
 
-def masked_nll_and_grad(
+def masked_nll_core(
     K: jax.Array,
-    dK: jax.Array,
     y: jax.Array,
     mask: jax.Array,
     noise_std: float,
     compute_cond: bool = True,
     fallback: bool = True,
-) -> NLLResult:
-    """NLL, its three components, and d(NLL)/dtheta for one (padded) agent.
+) -> Tuple[NLLResult, jax.Array]:
+    """NLL (components, cond) plus the gradient bracket C^{-1} - alpha alpha^T.
 
-    K: (N, N) Gram; dK: (P, N, N); y: (N,); mask: (N,) with 1 = real row.
-    Reference: agent_riemannian.py:409-471.
+    The bracket is what every gradient flavor contracts against shifted-Gram
+    panels (grad_p = 0.5 * tr[bracket @ dK_p]); exposing it lets the streamed
+    and mesh-sharded gradient paths reuse one solve. The returned result's
+    ``grad`` field is an empty placeholder.
     """
     dtype = K.dtype
     mask = mask.astype(dtype)
@@ -70,12 +71,7 @@ def masked_nll_and_grad(
 
     res = solve_psd_with_fallback(C, y, fallback=fallback)
     alpha = res.C_inv_y
-
-    # Gradient: 0.5 * sum((C^{-1} - alpha alpha^T) ∘ dK_p^T)
     bracket = res.C_inv - jnp.outer(alpha, alpha)
-    m2 = mask[:, None] * mask[None, :]
-    dKm = dK * m2[None, :, :]
-    grad = 0.5 * jnp.einsum("ij,pji->p", bracket, dKm.astype(dtype))
 
     n_real = jnp.sum(mask)
     log_det_term = 0.5 * res.logdet  # padded block contributes log(1) = 0
@@ -94,7 +90,36 @@ def masked_nll_and_grad(
         cond = condition_number(K_cond)
     else:
         cond = jnp.asarray(jnp.nan, dtype)
-    return NLLResult(nll, grad, log_det_term, quadratic_term, constant_term, cond, res.chol_ok)
+    out = NLLResult(
+        nll, jnp.zeros((0,), dtype), log_det_term, quadratic_term,
+        constant_term, cond, res.chol_ok,
+    )
+    return out, bracket
+
+
+def masked_nll_and_grad(
+    K: jax.Array,
+    dK: jax.Array,
+    y: jax.Array,
+    mask: jax.Array,
+    noise_std: float,
+    compute_cond: bool = True,
+    fallback: bool = True,
+) -> NLLResult:
+    """NLL, its three components, and d(NLL)/dtheta for one (padded) agent.
+
+    K: (N, N) Gram; dK: (P, N, N); y: (N,); mask: (N,) with 1 = real row.
+    Reference: agent_riemannian.py:409-471.
+    """
+    dtype = K.dtype
+    res, bracket = masked_nll_core(
+        K, y, mask, noise_std, compute_cond=compute_cond, fallback=fallback
+    )
+    # Gradient: 0.5 * sum((C^{-1} - alpha alpha^T) ∘ dK_p^T)
+    m2 = mask.astype(dtype)[:, None] * mask.astype(dtype)[None, :]
+    dKm = dK * m2[None, :, :]
+    grad = 0.5 * jnp.einsum("ij,pji->p", bracket, dKm.astype(dtype))
+    return res._replace(grad=grad)
 
 
 def gp_posterior_from_grams(

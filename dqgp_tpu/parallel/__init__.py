@@ -5,3 +5,8 @@ from .consensus import (
     make_agent_batch,
     make_admm_step,
 )
+from .training2d import (
+    agents_data_mesh,
+    make_admm_step_2d,
+    shard_batch_to_mesh_2d,
+)

@@ -115,6 +115,14 @@ def _agent_local(
     grad_method:
       * "central"  — the reference's h=pi/8 central difference over 2P+1
         wrapped parameter sets (parity mode; agent_riemannian.py:209-277).
+        Materializes dK as (P, N, N) — fastest at small N (one flattened
+        feature batch), O(P N^2) memory.
+      * "streamed" — the SAME central difference, but the 2P shifted Grams
+        are computed one parameter at a time inside a ``lax.scan`` and
+        contracted against the solve bracket immediately, so live memory is
+        O(N^2) regardless of P. Gradients match "central" to XLA
+        reduction-order tolerance (~1e-7 relative); use it when (2P+1) N^2
+        does not fit (the reference's scale ceiling — SURVEY.md §5.7).
       * "autodiff" — exact dNLL/dtheta by differentiating through the
         statevector simulation and the Cholesky solve (better-than-reference
         mode: one forward+backward pass instead of 2P+1 Gram evaluations).
@@ -140,6 +148,32 @@ def _agent_local(
             z_manifold.astype(dtype)
         )
         res = res._replace(grad=grad_exact)
+    elif grad_method == "streamed":
+        from ..models.gp.posterior import masked_nll_core
+        from ..models.kernels.quantum_kernel import gram as _gram
+
+        z32 = z_manifold.astype(jnp.float32)
+        K = _gram(spec, X, z32)
+        res, bracket = masked_nll_core(
+            K.astype(dtype), Y.astype(dtype), mask.astype(dtype), noise_std,
+            compute_cond=compute_cond, fallback=psd_fallback,
+        )
+        m2 = (mask[:, None] * mask[None, :]).astype(dtype)
+        n_params = z32.shape[0]
+
+        def shift_body(carry, p):
+            e = jax.nn.one_hot(p, n_params, dtype=z32.dtype)
+            t_plus = jnp.mod(z32 + shift_value * e, M.PERIOD)
+            t_minus = jnp.mod(z32 - shift_value * e, M.PERIOD)
+            K_plus = _gram(spec, X, t_plus)
+            K_minus = _gram(spec, X, t_minus)
+            # difference in f32 then upcast — bit-identical to "central"
+            dk = ((K_plus - K_minus) / (2.0 * shift_value)).astype(dtype) * m2
+            g = 0.5 * jnp.sum(bracket * dk.T)
+            return carry, g
+
+        _, grads = jax.lax.scan(shift_body, None, jnp.arange(n_params))
+        res = res._replace(grad=grads)
     else:
         K, dK = gram_and_shift_grads(spec, X, z_manifold.astype(jnp.float32), shift_value)
         res = masked_nll_and_grad(
