@@ -66,3 +66,27 @@ def test_features_reach_the_state():
         s0 = np.asarray(sv.batched_states(c, x0, theta))
         s1 = np.asarray(sv.batched_states(c, x1, theta))
         assert not np.allclose(s0, s1), enc
+
+
+def test_parameter_count_formulas():
+    """Pin the P(n, d, L) formula table from docs/PARITY.md — the contract
+    theta* recovery and every Gram fixture depend on."""
+    ring = lambda n: 1 if n == 2 else n
+    formulas = {
+        "chebyshev": lambda n, L: n + L * (2 * n + ring(n)),
+        "yz_cx": lambda n, L: 2 * n * L,
+        "hubregtsen": lambda n, L: L * (n + ring(n)),
+        "kyriienko": lambda n, L: 2 * n * L,
+        "multi_control": lambda n, L: L * (ring(n) + n),
+        "layered": lambda n, L: 3 * n * L,
+        "highdim": lambda n, L: n * L,
+    }
+    for enc, f in formulas.items():
+        for (n, d, L) in [(2, 1, 1), (3, 2, 1), (4, 2, 3), (5, 3, 4), (6, 2, 3)]:
+            c = build_circuit(enc, n, d, L)
+            assert c.num_parameters == f(n, L), (enc, n, d, L, c.num_parameters)
+    # random: seed-dependent within [nL, 2nL]; seed-0 values pinned
+    for (n, d, L), expect in [((3, 2, 1), 4), ((4, 2, 3), 18), ((5, 3, 4), 29)]:
+        c = build_circuit("random", n, d, L)
+        assert n * L <= c.num_parameters <= 2 * n * L
+        assert c.num_parameters == expect, (n, d, L, c.num_parameters)

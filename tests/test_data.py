@@ -166,3 +166,24 @@ def test_sst_and_robot_loaders():
     X4, _ = load_real_world_dataset("push", max_samples=50, include_force=True,
                                     random_state=1)
     assert X4.shape[1] == 4
+
+
+def test_all_four_srtm_regions_loadable():
+    """Every region in the reference's table (real_world_datasets.py:267-292)
+    must be drivable; great_lakes/oregon ride 1201^2 3-arc-sec synthetic
+    stand-in tiles (scripts/make_synthetic_tiles.py), exercising the
+    size-sniffing branch of read_hgt_file."""
+    from dqgp_tpu.data.real_world import SRTM_REGIONS, load_srtm_elevation_dataset
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    for region, info in SRTM_REGIONS.items():
+        X, Y = load_srtm_elevation_dataset(
+            region=region, max_samples=200, subsample_factor=20,
+            data_dir=os.path.join(REPO, "srtm_data"),
+        )
+        assert X.shape[0] == Y.shape[0] > 0, region
+        assert X.shape[1] == 2
+        # normalized Attentive-Kernels style: X in (-1, 1), Y standardized
+        assert np.all(np.abs(X) <= 1.0), region
+        assert np.isfinite(Y).all(), region
