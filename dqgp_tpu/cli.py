@@ -244,10 +244,14 @@ def main(argv=None):
             kwargs["use_preprocessed"] = args.use_srtm_preprocessed
         X_full, Y_full = load_real_world_dataset(dataset_name, **kwargs)
         if not args.no_plot:
+            # SRTM dataset figures go to srtm_plots/ as in the reference
+            # (real_world_datasets.py:837)
+            is_srtm = dataset_name == "srtm_elevation"
             plotting.plot_real_world_dataset(
                 X_full, Y_full, dataset_name,
-                region=(args.srtm_region if dataset_name == "srtm_elevation" else None),
-                save_plot=True, output_dir=args.output_dir,
+                region=(args.srtm_region if is_srtm else None),
+                save_plot=True,
+                output_dir=("srtm_plots" if is_srtm else args.output_dir),
             )
         input_dim = X_full.shape[1]
         spec = make_spec(input_dim)
@@ -383,13 +387,26 @@ def main(argv=None):
                 f"best predictor: {nll_corr['best_predictor']}")
 
     if not args.no_plot:
+        plot_config = {"encoding": args.encoding, "kernel": args.kernel_type,
+                       "qubits": args.num_qubits, "layers": args.num_layers}
         plotting.plot_predictions(
             X_test, Y_test, np.asarray(mean), np.asarray(var), X_train, Y_train,
             save_plot=True, output_dir=args.output_dir,
-            config={"encoding": args.encoding, "kernel": args.kernel_type,
-                    "qubits": args.num_qubits, "layers": args.num_layers},
+            config=plot_config,
             nlpd_info={"nlpd": test_metrics.get("nlpd", float("nan"))},
         )
+        if ground_truth_params is not None:
+            # GT-vs-trained prediction comparison (main.py:3194-3501): the
+            # same plot rendered with the generating parameters.
+            plotting.plot_predictions(
+                X_test, Y_test, np.asarray(gt_mean), np.asarray(gt_var),
+                X_train, Y_train,
+                title="Quantum GP Predictions (ground-truth parameters)",
+                save_plot=True, output_dir=args.output_dir,
+                config=plot_config,
+                nlpd_info={"nlpd": gt_metrics.get("nlpd", float("nan"))},
+                filename="predictions_ground_truth.png",
+            )
         plotting.plot_convergence(res.nll_history, res.cv_history,
                                   res.error_history or None,
                                   save_plot=True, output_dir=args.output_dir)

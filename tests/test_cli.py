@@ -63,7 +63,8 @@ def test_cli_plots_written(tmp_path):
         "--cv-folds", "3", "--data-seed", "4", "--no-cond", "--quiet",
         "--output-dir", out,
     ])
-    for f in ("dataset.png", "agent_distribution.png", "predictions.png", "convergence.png"):
+    for f in ("dataset.png", "agent_distribution.png", "predictions.png",
+              "predictions_ground_truth.png", "convergence.png"):
         assert os.path.exists(os.path.join(out, f)), f
 
 
