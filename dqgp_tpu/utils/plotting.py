@@ -93,23 +93,235 @@ def plot_dataset(X, Y, title="Quantum GP Data", save_plot=True, output_dir="plot
     return _save(fig, save_plot, output_dir, "dataset.png")
 
 
+def _coverage_map(splits, x1b, x2b, n_grid=25, threshold=0.15):
+    """How many agents have data within ``threshold`` of each grid point
+    (main.py:814-838's per-point loop, vectorized)."""
+    gx = np.linspace(x1b[0], x1b[1], n_grid)
+    gy = np.linspace(x2b[0], x2b[1], n_grid)
+    G = np.stack(np.meshgrid(gx, gy, indexing="ij"), -1).reshape(-1, 2)
+    cov = np.zeros(G.shape[0])
+    for Xa, _ in splits:
+        d2 = ((G[:, None, :] - Xa[None, :, :2]) ** 2).sum(-1)
+        cov += (d2.min(axis=1) < threshold**2)
+    return cov.reshape(n_grid, n_grid)
+
+
+def _overlap_matrix(splits):
+    """Min inter-agent point distances (main.py:846-863, vectorized)."""
+    n = len(splits)
+    M = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                Xi, Xj = splits[i][0], splits[j][0]
+                d2 = ((Xi[:, None, :] - Xj[None, :, :]) ** 2).sum(-1)
+                M[i, j] = np.sqrt(d2.min())
+    return M
+
+
+def _agent_densities(splits):
+    """samples / convex-hull area, bounding-box fallback (main.py:875-893)."""
+    out = []
+    for Xa, _ in splits:
+        if len(Xa) > 2:
+            try:
+                from scipy.spatial import ConvexHull
+
+                area = ConvexHull(Xa).volume
+            except Exception:
+                area = float(np.prod(Xa.max(axis=0) - Xa.min(axis=0)))
+            out.append(len(Xa) / area if area > 0 else float(len(Xa)))
+        else:
+            out.append(float(len(Xa)))
+    return out
+
+
+def _grid_region_panel(ax, n_agents, colors, x1b, x2b):
+    """Regular-grid agent-region rectangles, or the k-d note
+    (main.py:761-800)."""
+    k = int(round(np.sqrt(n_agents)))
+    if k * k == n_agents:
+        e1 = np.linspace(x1b[0], x1b[1], k + 1)
+        e2 = np.linspace(x2b[0], x2b[1], k + 1)
+        for e in e1:
+            ax.axvline(e, color="black", linestyle="--", alpha=0.5)
+        for e in e2:
+            ax.axhline(e, color="black", linestyle="--", alpha=0.5)
+        for a in range(n_agents):
+            i, j = a % k, a // k
+            ax.add_patch(plt.Rectangle(
+                (e1[i], e2[j]), e1[i + 1] - e1[i], e2[j + 1] - e2[j],
+                facecolor=colors[a], alpha=0.3, edgecolor="black", linewidth=1))
+            ax.text((e1[i] + e1[i + 1]) / 2, (e2[j] + e2[j + 1]) / 2,
+                    f"A{a + 1}", ha="center", va="center",
+                    fontweight="bold", fontsize=10)
+        ax.set_title(f"Agent Regions\nRegular Grid: {k}×{k}",
+                     fontsize=12, fontweight="bold")
+    else:
+        ax.text(0.5, 0.5, "K-d Tree Partitioning\n(Irregular boundaries)",
+                ha="center", va="center", transform=ax.transAxes, fontsize=12)
+    ax.set_xlabel("X1"); ax.set_ylabel("X2")
+    ax.set_xlim(x1b); ax.set_ylim(x2b); ax.grid(True, alpha=0.3)
+
+
 def plot_agent_data_distribution(agent_data_splits, title="Agent Data Distribution",
                                  save_plot=True, output_dir="plots") -> Optional[str]:
-    """Per-agent spatial shards (main.py:684-780)."""
-    n_agents = len(agent_data_splits)
-    d = agent_data_splits[0][0].shape[1]
+    """Per-agent shard analysis, panel-for-panel with the reference
+    (main.py:684-1309): for 2D inputs, six panels (input-space partitioning
+    with grid boundaries, 3D outputs by agent, agent-region map, spatial
+    coverage heatmap with data overlay, agent min-distance overlap matrix,
+    per-agent density bars) plus a companion analysis figure (partitioning
+    statistics + KDE density heatmap, saved as
+    ``agent_distribution_analysis.png``). 1D keeps the reference's labeled
+    scatter; >2D draws pairwise projections colored by agent."""
+    splits = [(np.asarray(Xa), np.asarray(Ya)) for Xa, Ya in agent_data_splits]
+    n_agents = len(splits)
+    d = splits[0][0].shape[1]
     colors = plt.cm.Set3(np.linspace(0, 1, n_agents))
-    fig = plt.figure(figsize=(9, 6))
+    n_total = sum(len(Xa) for Xa, _ in splits)
+
     if d == 1:
-        for i, (Xa, Ya) in enumerate(agent_data_splits):
-            plt.scatter(Xa[:, 0], Ya, s=16, color=colors[i], label=f"Agent {i+1}")
-        plt.xlabel("X"); plt.ylabel("Y")
-    else:
-        for i, (Xa, _) in enumerate(agent_data_splits):
-            plt.scatter(Xa[:, 0], Xa[:, 1], s=16, color=colors[i], label=f"Agent {i+1}")
-        plt.xlabel("X1"); plt.ylabel("X2")
-    plt.legend(); plt.title(title); plt.grid(True, alpha=0.4)
-    return _save(fig, save_plot, output_dir, "agent_distribution.png")
+        fig = plt.figure(figsize=(10, 6))
+        for i, (Xa, Ya) in enumerate(splits):
+            plt.scatter(Xa[:, 0], Ya, alpha=0.7, s=20, color=colors[i],
+                        label=f"Agent {i + 1} ({len(Xa)} samples)")
+        plt.xlabel("X"); plt.ylabel("Y"); plt.title(title)
+        plt.legend(); plt.grid(True)
+        return _save(fig, save_plot, output_dir, "agent_distribution.png")
+
+    if d != 2:
+        n_plots = min(6, d * (d - 1) // 2)
+        cols = 3
+        rows = (n_plots + cols - 1) // cols
+        fig, axes = plt.subplots(rows, cols, figsize=(15, 5 * rows), squeeze=False)
+        k = 0
+        for i in range(d):
+            for j in range(i + 1, d):
+                if k >= n_plots:
+                    break
+                ax = axes[k // cols][k % cols]
+                for a, (Xa, _) in enumerate(splits):
+                    ax.scatter(Xa[:, i], Xa[:, j], s=14, color=colors[a], alpha=0.7)
+                ax.set_xlabel(f"X{i + 1}"); ax.set_ylabel(f"X{j + 1}")
+                ax.set_title(f"X{i + 1} vs X{j + 1} (colored by Agent)")
+                k += 1
+            if k >= n_plots:
+                break
+        for idx in range(k, rows * cols):
+            axes[idx // cols][idx % cols].set_visible(False)
+        fig.suptitle(f"{title} ({d}D Input)")
+        return _save(fig, save_plot, output_dir, "agent_distribution.png")
+
+    # ---- 2D: full analysis suite --------------------------------------
+    all_X = np.vstack([Xa for Xa, _ in splits])
+    x1b = [all_X[:, 0].min(), all_X[:, 0].max()]
+    x2b = [all_X[:, 1].min(), all_X[:, 1].max()]
+    fig = plt.figure(figsize=(18, 12))
+
+    ax1 = fig.add_subplot(231)
+    for i, (Xa, _) in enumerate(splits):
+        ax1.scatter(Xa[:, 0], Xa[:, 1], c=[colors[i]], s=30, alpha=0.8,
+                    label=f"Agent {i + 1} ({len(Xa)} samples)",
+                    edgecolors="black", linewidths=0.3)
+    k = int(round(np.sqrt(n_agents)))
+    if k * k == n_agents:
+        for e in np.linspace(x1b[0], x1b[1], k + 1):
+            ax1.axvline(e, color="red", linestyle="--", alpha=0.6, linewidth=1.5)
+        for e in np.linspace(x2b[0], x2b[1], k + 1):
+            ax1.axhline(e, color="red", linestyle="--", alpha=0.6, linewidth=1.5)
+    ax1.set_xlabel("X1"); ax1.set_ylabel("X2")
+    ax1.set_title("Input Space Partitioning\n(X1 vs X2)", fontsize=12,
+                  fontweight="bold")
+    ax1.legend(bbox_to_anchor=(1.05, 1), loc="upper left", fontsize="small")
+    ax1.grid(True, alpha=0.3); ax1.set_xlim(x1b); ax1.set_ylim(x2b)
+
+    ax2 = fig.add_subplot(232, projection="3d")
+    for i, (Xa, Ya) in enumerate(splits):
+        ax2.scatter(Xa[:, 0], Xa[:, 1], Ya, c=[colors[i]], s=25, alpha=0.8,
+                    edgecolors="black", linewidths=0.2)
+    ax2.set_xlabel("X1"); ax2.set_ylabel("X2"); ax2.set_zlabel("Y")
+    ax2.set_title("Output Values by Agent\n(X1, X2, Y)", fontsize=12,
+                  fontweight="bold")
+
+    _grid_region_panel(fig.add_subplot(233), n_agents, colors, x1b, x2b)
+
+    ax4 = fig.add_subplot(234)
+    cov = _coverage_map(splits, x1b, x2b)
+    im = ax4.imshow(cov.T, origin="lower",
+                    extent=[x1b[0], x1b[1], x2b[0], x2b[1]],
+                    cmap="RdYlGn", alpha=0.7, aspect="auto")
+    plt.colorbar(im, ax=ax4, label="Number of agents\nwith nearby data")
+    for i, (Xa, _) in enumerate(splits):
+        ax4.scatter(Xa[:, 0], Xa[:, 1], c=[colors[i]], s=15, alpha=0.6,
+                    edgecolors="black", linewidths=0.1)
+    ax4.set_xlabel("X1"); ax4.set_ylabel("X2")
+    ax4.set_title("Spatial Coverage Analysis", fontsize=12, fontweight="bold")
+
+    ax5 = fig.add_subplot(235)
+    overlap = _overlap_matrix(splits)
+    im2 = ax5.imshow(overlap, cmap="viridis")
+    ax5.set_xlabel("Agent ID"); ax5.set_ylabel("Agent ID")
+    ax5.set_title("Agent Overlap Matrix\n(Min distances)", fontsize=12,
+                  fontweight="bold")
+    ax5.set_xticks(range(n_agents)); ax5.set_yticks(range(n_agents))
+    ax5.set_xticklabels([f"A{i + 1}" for i in range(n_agents)])
+    ax5.set_yticklabels([f"A{i + 1}" for i in range(n_agents)])
+    plt.colorbar(im2, ax=ax5, label="Distance")
+    for i in range(n_agents):
+        for j in range(n_agents):
+            if i != j:
+                ax5.text(j, i, f"{overlap[i, j]:.2f}", ha="center",
+                         va="center", color="white", fontsize=8)
+
+    ax6 = fig.add_subplot(236)
+    densities = _agent_densities(splits)
+    bars = ax6.bar(range(n_agents), densities, color=colors[:n_agents],
+                   alpha=0.7, edgecolor="black")
+    ax6.set_xlabel("Agent ID"); ax6.set_ylabel("Data Density\n(samples/area)")
+    ax6.set_title("Data Density per Agent", fontsize=12, fontweight="bold")
+    ax6.set_xticks(range(n_agents))
+    ax6.set_xticklabels([f"A{i + 1}" for i in range(n_agents)])
+    for bar, dens in zip(bars, densities):
+        ax6.text(bar.get_x() + bar.get_width() / 2,
+                 bar.get_height() + max(densities) * 0.01, f"{dens:.1f}",
+                 ha="center", va="bottom", fontsize=9)
+    fig.tight_layout()
+    path = _save(fig, save_plot, output_dir, "agent_distribution.png")
+
+    # Companion analysis figure (main.py:928-990)
+    fig2, (ax_stats, ax_kde) = plt.subplots(1, 2, figsize=(16, 6))
+    ax_stats.axis("off")
+    ax_stats.set_title("Partitioning Statistics", fontweight="bold", fontsize=14)
+    lines = [f"Total Agents: {n_agents}", f"Total Samples: {n_total}",
+             "Input Space Bounds:",
+             f"  X1: [{x1b[0]:.3f}, {x1b[1]:.3f}]",
+             f"  X2: [{x2b[0]:.3f}, {x2b[1]:.3f}]", "",
+             "Agent Sample Counts:"]
+    lines += [f"  Agent {i + 1}: {len(Xa)} samples "
+              f"({len(Xa) / n_total * 100:.1f}%)"
+              for i, (Xa, _) in enumerate(splits)]
+    ax_stats.text(0.05, 0.95, "\n".join(lines), transform=ax_stats.transAxes,
+                  fontsize=11, verticalalignment="top", fontfamily="monospace",
+                  bbox=dict(boxstyle="round", facecolor="lightgray", alpha=0.8))
+    ax_kde.set_title("Data Point Density Visualization", fontweight="bold",
+                     fontsize=14)
+    try:
+        from scipy.stats import gaussian_kde
+
+        xi = np.linspace(x1b[0], x1b[1], 50)
+        yi = np.linspace(x2b[0], x2b[1], 50)
+        Xi, Yi = np.meshgrid(xi, yi)
+        zi = gaussian_kde(all_X.T)(np.vstack([Xi.ravel(), Yi.ravel()]))
+        cf = ax_kde.contourf(Xi, Yi, zi.reshape(Xi.shape), levels=20,
+                             cmap="Blues", alpha=0.6)
+        plt.colorbar(cf, ax=ax_kde, label="Data Density")
+    except Exception:
+        pass
+    for i, (Xa, _) in enumerate(splits):
+        ax_kde.scatter(Xa[:, 0], Xa[:, 1], c=[colors[i]], s=12, alpha=0.6)
+    ax_kde.set_xlabel("X1"); ax_kde.set_ylabel("X2")
+    _save(fig2, save_plot, output_dir, "agent_distribution_analysis.png")
+    return path
 
 
 def plot_predictions(X_test, Y_true, Y_pred, Y_pred_var=None, X_train=None,
