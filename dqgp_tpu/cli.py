@@ -122,6 +122,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="write structured run metrics to this JSON file")
     parser.add_argument("--mesh-devices", type=int, default=None,
                         help="number of devices for the agents mesh (default: all)")
+    parser.add_argument("--data-mesh-cols", type=int, default=None,
+                        help=">1: train on an agents x data 2-D mesh — each "
+                             "agent's Gram panels row-shard over this many "
+                             "devices (scale-out; implies streamed gradients)")
     parser.add_argument("--cv-dtype", choices=["float64", "float32"], default="float64",
                         help="dtype for the per-iteration CV folds (float32 is ~10x "
                              "faster on TPU; selection only needs NLPD ordering)")
@@ -325,6 +329,7 @@ def main(argv=None):
         cv_dtype=args.cv_dtype,
         run_cv=not args.no_cv,
         n_mesh_devices=args.mesh_devices,
+        data_mesh_cols=args.data_mesh_cols,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         verbose=not args.quiet,

@@ -55,6 +55,9 @@ class TrainConfig:
                                     # O(N^2) memory) | "autodiff" (exact)
     run_cv: bool = True             # per-iteration k-fold CV model selection
     n_mesh_devices: Optional[int] = None  # None = all local devices
+    data_mesh_cols: Optional[int] = None  # >1: agents x data 2-D mesh — each
+                                    # agent's Gram panels row-shard over this
+                                    # many devices (scale-out training)
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 10
     verbose: bool = True
@@ -143,20 +146,56 @@ def train(
     # --- mesh + data residency -------------------------------------------
     devs = jax.devices()
     n_dev = cfg.n_mesh_devices or len(devs)
-    n_dev = max(1, min(n_dev, n_agents, len(devs)))
-    while n_agents % n_dev != 0:  # agent axis must divide evenly
-        n_dev -= 1
-    mesh = agents_mesh(n_dev) if n_dev > 1 else None
+    n_dev = max(1, min(n_dev, len(devs)))
+    mesh2d = None
+    if cfg.data_mesh_cols and cfg.data_mesh_cols > 1:
+        # agents x data 2-D mesh (parallel/training2d.py): rows split the
+        # agent axis, columns row-shard each agent's Gram panels.
+        from .parallel import agents_data_mesh
 
-    batch = make_agent_batch(agent_data_splits)
-    step = make_admm_step(
-        spec, mesh,
-        rho=cfg.rho, L=cfg.L, noise_std=cfg.noise_std,
-        shift_value=cfg.shift_value, parity_round=cfg.parity_round,
-        compute_cond=cfg.compute_cond,
-        gp_dtype=cfg.gp_dtype, psd_fallback=cfg.psd_fallback,
-        grad_method=cfg.grad_method,
-    )
+        cols = cfg.data_mesh_cols
+        rows = max(1, n_dev // cols)
+        while rows > 1 and n_agents % rows != 0:
+            rows -= 1
+        mesh2d = agents_data_mesh(rows, cols)
+        mesh = None
+    else:
+        n_dev = min(n_dev, n_agents)
+        while n_agents % n_dev != 0:  # agent axis must divide evenly
+            n_dev -= 1
+        mesh = agents_mesh(n_dev) if n_dev > 1 else None
+
+    pad_to = None
+    if mesh2d is not None:
+        # per-agent padded row count must divide by the data axis
+        n_max = max(x.shape[0] for x, _ in agent_data_splits)
+        cols = cfg.data_mesh_cols
+        pad_to = ((n_max + cols - 1) // cols) * cols
+    batch = make_agent_batch(agent_data_splits, pad_to=pad_to)
+    if mesh2d is not None:
+        from .parallel import make_admm_step_2d
+
+        if cfg.grad_method == "autodiff":
+            raise NotImplementedError(
+                "grad_method='autodiff' is not available on the 2-D mesh; "
+                "use 'central'/'streamed' or the 1-D agents mesh"
+            )
+        step = make_admm_step_2d(
+            spec, mesh2d,
+            rho=cfg.rho, L=cfg.L, noise_std=cfg.noise_std,
+            shift_value=cfg.shift_value, parity_round=cfg.parity_round,
+            compute_cond=cfg.compute_cond,
+            gp_dtype=cfg.gp_dtype, psd_fallback=cfg.psd_fallback,
+        )
+    else:
+        step = make_admm_step(
+            spec, mesh,
+            rho=cfg.rho, L=cfg.L, noise_std=cfg.noise_std,
+            shift_value=cfg.shift_value, parity_round=cfg.parity_round,
+            compute_cond=cfg.compute_cond,
+            gp_dtype=cfg.gp_dtype, psd_fallback=cfg.psd_fallback,
+            grad_method=cfg.grad_method,
+        )
 
     # --- state ------------------------------------------------------------
     if resume_from:
@@ -173,7 +212,11 @@ def train(
 
     theta = jnp.asarray(theta, jnp.float64)
     psi = jnp.asarray(psi, jnp.float64)
-    if mesh is not None:
+    if mesh2d is not None:
+        from .parallel import shard_batch_to_mesh_2d
+
+        batch, theta, psi = shard_batch_to_mesh_2d(batch, theta, psi, mesh2d)
+    elif mesh is not None:
         batch, theta, psi = shard_batch_to_mesh(batch, theta, psi, mesh)
 
     nll_history: List[Dict] = []

@@ -181,3 +181,24 @@ def test_mesh2d_trains_where_dense_dk_would_blow_up():
     assert np.all(np.isfinite(np.asarray(out.nll)))
     # theta moved from init toward consensus
     assert not np.array_equal(np.asarray(out.theta), np.asarray(theta))
+
+
+def test_driver_train_on_2d_mesh():
+    """driver.train(data_mesh_cols=2) runs the full training loop (CV, best-z
+    tracking) on the agents x data mesh and matches the 1-D path's selected
+    hyperparameters."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dqgp_tpu.driver import TrainConfig, train
+
+    spec = _spec()
+    rng = np.random.RandomState(3)
+    X = rng.uniform(-0.9, 0.9, (96, 2))
+    Y = np.sin(3 * X[:, 0]) + 0.2 * rng.randn(96)
+    splits = split_data_numpy(X, Y, 4, "sequential")
+
+    base = dict(max_iter=2, verbose=False, compute_cond=False)
+    r1 = train(spec, splits, X, Y, TrainConfig(**base))
+    r2 = train(spec, splits, X, Y, TrainConfig(**base, data_mesh_cols=2))
+    np.testing.assert_array_equal(np.round(r1.z, 4), np.round(r2.z, 4))
+    assert abs(r1.cv_best - r2.cv_best) < 1e-6
