@@ -219,6 +219,34 @@ def train(
     elif mesh is not None:
         batch, theta, psi = shard_batch_to_mesh(batch, theta, psi, mesh)
 
+    # --- fuse per-iteration CV into the step program -----------------------
+    # The reference runs 5 complete GP fits per iteration in separate
+    # processes (main.py:2645-2716); here the fold scores compute inside the
+    # SAME jitted executable as the ADMM step — one program per training
+    # iteration (dispatch overhead and the accelerator runtime's
+    # secondary-program slow path both disappear; fold shapes are
+    # deterministic in (n, k), so this compiles once).
+    step_with_cv = None
+    if cfg.run_cv:
+        from .models.gp.cv import (
+            aggregate_cv_scores,
+            cv_fold_scores_impl,
+            kfold_pad_indices,
+        )
+
+        base_step = step
+        Xtr_j = jnp.asarray(X_train)
+        Ytr_j = jnp.asarray(Y_train)
+
+        @jax.jit
+        def step_with_cv(theta, psi, batch, X_tr, Y_tr, tr_i, tr_m, va_i, va_m):
+            out = base_step(theta, psi, batch)
+            scores = cv_fold_scores_impl(
+                spec, X_tr, Y_tr, out.z, tr_i, tr_m, va_i, va_m,
+                noise_std=float(cfg.noise_std), cv_dtype=cfg.cv_dtype,
+            )
+            return out, scores
+
     nll_history: List[Dict] = []
     cv_history: List[Dict] = []
     error_history: List[float] = []
@@ -232,7 +260,18 @@ def train(
         it_start = time.time()
         z_old = np.asarray(z)
 
-        out = step(theta, psi, batch)
+        fold_scores = None
+        if step_with_cv is not None:
+            try:
+                idx = kfold_pad_indices(len(X_train), cfg.cv_folds,
+                                        cfg.seed + it)  # seed+iter (main.py:2665)
+                out, fold_scores = step_with_cv(theta, psi, batch,
+                                                Xtr_j, Ytr_j, *idx)
+            except Exception as e:
+                log(f"  fused step+CV failed ({e}); separate CV this iter")
+                out = step(theta, psi, batch)
+        else:
+            out = step(theta, psi, batch)
         theta, psi = out.theta, out.psi
         z = np.asarray(out.z)
 
@@ -264,12 +303,15 @@ def train(
         # --- per-iteration CV model selection (main.py:2645-2716) ---------
         if cfg.run_cv:
             try:
-                cv = k_fold_cross_validation_consensus(
-                    spec, X_train, Y_train, z, cfg.noise_std,
-                    k_folds=cfg.cv_folds,
-                    random_seed=cfg.seed + it,  # per-iteration seed (main.py:2665)
-                    cv_dtype=cfg.cv_dtype,
-                )
+                if fold_scores is not None:
+                    cv = aggregate_cv_scores(*fold_scores, cfg.cv_folds)
+                else:
+                    cv = k_fold_cross_validation_consensus(
+                        spec, X_train, Y_train, z, cfg.noise_std,
+                        k_folds=cfg.cv_folds,
+                        random_seed=cfg.seed + it,  # per-iter seed (main.py:2665)
+                        cv_dtype=cfg.cv_dtype,
+                    )
                 cv_score = cv["mean_nlpd"]
                 if cv_score < cv_best:
                     cv_best = cv_score

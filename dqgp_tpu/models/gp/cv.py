@@ -59,8 +59,7 @@ def kfold_pad_indices(n: int, k: int, seed: int):
     return jnp.asarray(tr_i), jnp.asarray(tr_m), jnp.asarray(va_i), jnp.asarray(va_m)
 
 
-@partial(jax.jit, static_argnums=(0,), static_argnames=("noise_std", "jitter", "cv_dtype"))
-def _cv_fold_scores(
+def cv_fold_scores_impl(
     spec: QuantumKernelSpec,
     X: jax.Array,
     Y: jax.Array,
@@ -73,7 +72,9 @@ def _cv_fold_scores(
     jitter: float = 1e-6,
     cv_dtype: str = "float64",
 ):
-    """Per-fold (nlpd, r2, rmse) — one fused program for all folds."""
+    """Per-fold (nlpd, r2, rmse) — traceable body; jit via ``_cv_fold_scores``
+    or fuse into a larger program (the driver fuses it into the ADMM step so
+    each training iteration is ONE executable)."""
     F = kernel_features(spec, X, theta)  # once per consensus vector
     if cv_dtype == "float64" and not jax.config.jax_enable_x64:
         cv_dtype = "float32"
@@ -124,6 +125,52 @@ def _cv_fold_scores(
     return jax.vmap(fold)(tr_i, tr_m, va_i, va_m)
 
 
+_cv_fold_scores = partial(jax.jit, static_argnums=(0,),
+                          static_argnames=("noise_std", "jitter", "cv_dtype"))(
+    cv_fold_scores_impl
+)
+
+
+def aggregate_cv_scores(nlpds, r2s, rmses, k_folds: int) -> Dict:
+    """Reference failure semantics (main.py:1564-1596): non-finite folds
+    score +inf; valid only if >= k//2 folds succeed."""
+    nlpds = np.asarray(nlpds, np.float64)
+    r2s = np.asarray(r2s, np.float64)
+    rmses = np.asarray(rmses, np.float64)
+
+    fold_nlpds = [float(v) if np.isfinite(v) else float("inf") for v in nlpds]
+    fold_r2s = [float(v) if np.isfinite(nlpds[i]) else -float("inf")
+                for i, v in enumerate(r2s)]
+    fold_rmses = [float(v) if np.isfinite(nlpds[i]) else float("inf")
+                  for i, v in enumerate(rmses)]
+
+    valid = [v for v in fold_nlpds if not np.isinf(v)]
+    if len(valid) >= k_folds // 2:
+        mean_nlpd = float(np.mean(valid))
+        std_nlpd = float(np.std(valid))
+        mean_r2 = float(np.mean([r for r, v in zip(fold_r2s, fold_nlpds)
+                                 if not np.isinf(v)]))
+        mean_rmse = float(np.mean([r for r, v in zip(fold_rmses, fold_nlpds)
+                                   if not np.isinf(v)]))
+    else:
+        mean_nlpd = float("inf")
+        std_nlpd = float("inf")
+        mean_r2 = -float("inf")
+        mean_rmse = float("inf")
+
+    return {
+        "mean_nlpd": mean_nlpd,
+        "std_nlpd": std_nlpd,
+        "mean_r2": mean_r2,
+        "mean_rmse": mean_rmse,
+        "fold_nlpds": fold_nlpds,
+        "fold_r2s": fold_r2s,
+        "fold_rmses": fold_rmses,
+        "valid_folds": len(valid),
+        "total_folds": k_folds,
+    }
+
+
 def k_fold_cross_validation_consensus(
     spec: QuantumKernelSpec,
     X_train,
@@ -150,34 +197,4 @@ def k_fold_cross_validation_consensus(
         jitter=float(jitter),
         cv_dtype=cv_dtype,
     )
-    nlpds = np.asarray(nlpds, np.float64)
-    r2s = np.asarray(r2s, np.float64)
-    rmses = np.asarray(rmses, np.float64)
-
-    fold_nlpds = [float(v) if np.isfinite(v) else float("inf") for v in nlpds]
-    fold_r2s = [float(v) if np.isfinite(nlpds[i]) else -float("inf") for i, v in enumerate(r2s)]
-    fold_rmses = [float(v) if np.isfinite(nlpds[i]) else float("inf") for i, v in enumerate(rmses)]
-
-    valid = [v for v in fold_nlpds if not np.isinf(v)]
-    if len(valid) >= k_folds // 2:
-        mean_nlpd = float(np.mean(valid))
-        std_nlpd = float(np.std(valid))
-        mean_r2 = float(np.mean([r for r, v in zip(fold_r2s, fold_nlpds) if not np.isinf(v)]))
-        mean_rmse = float(np.mean([r for r, v in zip(fold_rmses, fold_nlpds) if not np.isinf(v)]))
-    else:
-        mean_nlpd = float("inf")
-        std_nlpd = float("inf")
-        mean_r2 = -float("inf")
-        mean_rmse = float("inf")
-
-    return {
-        "mean_nlpd": mean_nlpd,
-        "std_nlpd": std_nlpd,
-        "mean_r2": mean_r2,
-        "mean_rmse": mean_rmse,
-        "fold_nlpds": fold_nlpds,
-        "fold_r2s": fold_r2s,
-        "fold_rmses": fold_rmses,
-        "valid_folds": len(valid),
-        "total_folds": k_folds,
-    }
+    return aggregate_cv_scores(nlpds, r2s, rmses, k_folds)

@@ -80,10 +80,12 @@ def masked_nll_core(
     nll = log_det_term + quadratic_term + constant_term
 
     if compute_cond:
-        # The reference conditions the noise-free C. Padded rows would inject
-        # eigenvalues of exactly 1 (distorting cond for non-unit-diagonal
-        # kernels), so pad the diagonal with the mean real diagonal instead —
-        # it lies in [lambda_min, lambda_max] and leaves max/min untouched.
+        # The reference conditions the noise-free C (agent_riemannian.py:411:
+        # np.linalg.cond(C) on C BEFORE the sigma^2 shift). Padded rows would
+        # inject eigenvalues of exactly 1 (distorting cond for
+        # non-unit-diagonal kernels), so pad the diagonal with the mean real
+        # diagonal instead — it lies in [lambda_min, lambda_max] and leaves
+        # max/min untouched.
         diag_mean = jnp.sum(jnp.diagonal(K) * mask) / jnp.maximum(jnp.sum(mask), 1.0)
         m2 = mask[:, None] * mask[None, :]
         K_cond = K * m2 + jnp.diag((1.0 - mask) * diag_mean)

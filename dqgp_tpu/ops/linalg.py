@@ -119,6 +119,16 @@ def condition_number(C: jax.Array, method: str = "auto") -> jax.Array:
 
 
 def _condition_number_iterative(C: jax.Array, iters: int = 64) -> jax.Array:
+    """Power iteration on C and (explicit) C^{-1}.
+
+    The inverse is materialized once via two triangular solves with N
+    right-hand sides — a single batched latency step — after which BOTH
+    extremal eigenvalues are matmul-only power iterations that vmap freely
+    over agents. (The textbook alternative, inverse iteration with two
+    triangular solves per step, is latency-bound on emulated-f64 TPU:
+    measured ~0.24 s/agent/ADMM-iteration vs microseconds for this form.)
+    Indefinite/singular C (failed f64 Cholesky) reports inf.
+    """
     dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     A = C.astype(dt)
     n = A.shape[-1]
@@ -127,24 +137,23 @@ def _condition_number_iterative(C: jax.Array, iters: int = 64) -> jax.Array:
     v0 = jnp.ones((n,), dt) + jnp.linspace(0.0, 0.5, n, dtype=dt)
     v0 = v0 / jnp.linalg.norm(v0)
 
-    def pow_body(_, v):
-        w = A @ v
-        return w / jnp.maximum(jnp.linalg.norm(w), tiny)
+    def power(M):
+        def body(_, v):
+            w = M @ v
+            return w / jnp.maximum(jnp.linalg.norm(w), tiny)
 
-    v = lax.fori_loop(0, iters, pow_body, v0)
-    lam_max = v @ (A @ v)
+        v = lax.fori_loop(0, iters, body, v0)
+        return v @ (M @ v)
+
+    lam_max = power(A)
 
     L = jnp.linalg.cholesky(A)
     ok = jnp.all(jnp.isfinite(L))
     L_safe = jnp.where(ok, L, jnp.eye(n, dtype=dt))
+    Vi = solve_triangular(L_safe, jnp.eye(n, dtype=dt), lower=True)
+    A_inv = solve_triangular(L_safe.T, Vi, lower=False)
+    lam_min = 1.0 / jnp.maximum(power(A_inv), tiny)
 
-    def inv_body(_, v):
-        w = solve_triangular(L_safe, v, lower=True)
-        w = solve_triangular(L_safe.T, w, lower=False)
-        return w / jnp.maximum(jnp.linalg.norm(w), tiny)
-
-    u = lax.fori_loop(0, iters, inv_body, v0)
-    lam_min = u @ (A @ u)
     cond = jnp.abs(lam_max) / jnp.maximum(jnp.abs(lam_min), tiny)
     return jnp.where(ok, cond, jnp.asarray(jnp.inf, dt))
 

@@ -72,18 +72,36 @@ def plot_dataset(X, Y, title="Quantum GP Data", save_plot=True, output_dir="plot
         ax.set_xlabel("X1"); ax.set_ylabel("X2"); ax.set_zlabel("Y")
         ax.set_title(title)
     else:
+        # Pairwise projections; with a train/test split they are colored by
+        # split (blue circles / red squares), otherwise by Y with colorbars —
+        # the reference's 3D and >3D branches (main.py:334-431).
         n_plots = min(6, d * (d - 1) // 2)
         cols = 3
         rows = (n_plots + cols - 1) // cols
-        fig, axes = plt.subplots(rows, cols, figsize=(13, 4 * rows), squeeze=False)
+        fig, axes = plt.subplots(rows, cols, figsize=(15, 5 * rows), squeeze=False)
         k = 0
         for i in range(d):
             for j in range(i + 1, d):
                 if k >= n_plots:
                     break
                 ax = axes[k // cols][k % cols]
-                sc = ax.scatter(X[:, i], X[:, j], c=Y, cmap="viridis", s=10, alpha=0.7)
+                if train_indices is not None and test_indices is not None:
+                    ax.scatter(X[train_indices, i], X[train_indices, j],
+                               c="blue", s=30, alpha=0.7, marker="o",
+                               label="Training")
+                    ax.scatter(X[test_indices, i], X[test_indices, j],
+                               c="red", s=30, alpha=0.7, marker="s",
+                               label="Test")
+                    if k == 0:
+                        ax.legend()
+                    ax.set_title(f"X{i+1} vs X{j+1}")
+                else:
+                    sc = ax.scatter(X[:, i], X[:, j], c=Y, cmap="viridis",
+                                    s=20, alpha=0.7)
+                    plt.colorbar(sc, ax=ax)
+                    ax.set_title(f"X{i+1} vs X{j+1} (colored by Y)")
                 ax.set_xlabel(f"X{i+1}"); ax.set_ylabel(f"X{j+1}")
+                ax.grid(True, alpha=0.3)
                 k += 1
             if k >= n_plots:
                 break

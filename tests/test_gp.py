@@ -213,3 +213,4 @@ def test_condition_number_iterative_indefinite_is_inf():
     A = np.diag(np.array([1.0, -1.0, 2.0]))
     c = float(condition_number(jnp.asarray(A, jnp.float64), method="iterative"))
     assert np.isinf(c)
+
