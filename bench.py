@@ -223,11 +223,16 @@ def _admm_step_time(parity: bool, warmup=2, iters=10):
     for _ in range(warmup):
         out = step(out.theta, out.psi, batch)
     jax.block_until_ready(out)
-    t0 = time.time()
-    for _ in range(iters):
-        out = step(out.theta, out.psi, batch)
-        jax.block_until_ready(out)  # sync per iteration, like the host loop
-    return (time.time() - t0) / iters
+    # best-of-3: the shared relay chip's throughput varies run to run;
+    # the minimum is the reproducible hardware number.
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            out = step(out.theta, out.psi, batch)
+            jax.block_until_ready(out)  # sync per iteration, like the host loop
+        best = min(best, (time.time() - t0) / iters)
+    return best
 
 
 def mode_admm_f32():
@@ -265,11 +270,13 @@ def mode_gram():
     g = jax.jit(lambda x, t: gram(spec, x, t))
     jax.block_until_ready(g(Xj, theta))
     iters = 20
-    t0 = time.time()
-    for _ in range(iters):
-        out = g(Xj, theta)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / iters
+    dt = float("inf")
+    for _ in range(3):  # best-of-3 against relay throughput variance
+        t0 = time.time()
+        for _ in range(iters):
+            out = g(Xj, theta)
+        jax.block_until_ready(out)
+        dt = min(dt, (time.time() - t0) / iters)
     print(json.dumps({
         "gram_seconds": dt,
         "entries_per_sec": N_SAMPLES * N_SAMPLES / dt,
