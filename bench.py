@@ -392,7 +392,10 @@ def main():
     base_dt = get_baseline_seconds(spec, splits)
 
     smoke_res = _run_mode("pallas_smoke", 900)
-    if smoke_res.get("pallas_smoke_ok") is False:
+    # The gate trips on an explicit mismatch AND on a crashed smoke
+    # subprocess (a Mosaic compile failure is the likeliest drift symptom);
+    # only a clean null (CPU host, kernel not applicable) passes.
+    if smoke_res.get("pallas_smoke_ok") is False or "error" in smoke_res:
         # Mosaic drift: timing numbers would be untrustworthy — fail loudly
         # but still emit the (gated) record for the driver.
         print(json.dumps({

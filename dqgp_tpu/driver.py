@@ -268,7 +268,11 @@ def train(
                 out, fold_scores = step_with_cv(theta, psi, batch,
                                                 Xtr_j, Ytr_j, *idx)
             except Exception as e:
-                log(f"  fused step+CV failed ({e}); separate CV this iter")
+                # disable fusion permanently — re-attempting would re-trace
+                # (and re-fail) a minutes-long compile every iteration
+                log(f"  fused step+CV failed ({e}); disabling fusion, "
+                    f"separate CV from here on")
+                step_with_cv = None
                 out = step(theta, psi, batch)
         else:
             out = step(theta, psi, batch)

@@ -269,12 +269,20 @@ class QuantumKernel:
         self._parameters = jnp.asarray(params, jnp.float32)
 
     def evaluate(self, XA, XB=None) -> np.ndarray:
-        # Symmetric-vs-cross is decided on Python object identity only — a
-        # value comparison would force a host<->device sync on every call.
+        # Symmetric-vs-cross is decided on Python object identity — a value
+        # comparison would force a host<->device sync on every call. The one
+        # case where the routing changes the RESULT is a regularized kernel
+        # (squlearn regularizes square Grams only), so there a value-equal
+        # XB still gets the symmetric path, paying the comparison.
         if self._parameters is None:
             raise ValueError("parameters not assigned")
         XA_j = jnp.asarray(XA)
-        if XB is None or XB is XA:
+        symmetric = XB is None or XB is XA
+        if not symmetric and self.spec.regularization is not None:
+            XB_a = np.asarray(XB)
+            XA_a = np.asarray(XA)
+            symmetric = XB_a.shape == XA_a.shape and np.array_equal(XB_a, XA_a)
+        if symmetric:
             K = self._sym_gram_jit(XA_j, self._parameters)
         else:
             K = self._gram_jit(XA_j, self._parameters, jnp.asarray(XB))

@@ -156,6 +156,14 @@ def make_admm_step_2d(
     P("agents", "data") (see ``shard_batch_to_mesh_2d``). Agent count must
     divide by mesh rows; per-agent padded size by mesh columns.
     """
+    if spec.regularization is not None:
+        raise NotImplementedError(
+            "Gram regularization (thresholding/tikhonov) needs the full "
+            "symmetric Gram's eigendecomposition, which the row-sharded "
+            "panels never materialize; use the 1-D agents mesh (central or "
+            "streamed gradients apply it per shifted Gram) or "
+            "regularization=None."
+        )
     kwargs = dict(
         rho=rho, L=L, noise_std=noise_std, shift_value=shift_value,
         parity_round=parity_round, compute_cond=compute_cond,

@@ -124,16 +124,22 @@ def _coverage_map(splits, x1b, x2b, n_grid=25, threshold=0.15):
     return cov.reshape(n_grid, n_grid)
 
 
-def _overlap_matrix(splits):
-    """Min inter-agent point distances (main.py:846-863, vectorized)."""
+def _overlap_matrix(splits, chunk: int = 2048):
+    """Min inter-agent point distances (main.py:846-863, vectorized).
+
+    Chunked over the first agent's rows so the transient difference tensor
+    stays bounded at scale-out shard sizes, and symmetric (min distance is
+    direction-free), so each pair is computed once."""
     n = len(splits)
     M = np.zeros((n, n))
     for i in range(n):
-        for j in range(n):
-            if i != j:
-                Xi, Xj = splits[i][0], splits[j][0]
-                d2 = ((Xi[:, None, :] - Xj[None, :, :]) ** 2).sum(-1)
-                M[i, j] = np.sqrt(d2.min())
+        for j in range(i + 1, n):
+            Xi, Xj = splits[i][0], splits[j][0]
+            best = np.inf
+            for s in range(0, len(Xi), chunk):
+                d2 = ((Xi[s:s + chunk, None, :] - Xj[None, :, :]) ** 2).sum(-1)
+                best = min(best, float(d2.min()))
+            M[i, j] = M[j, i] = np.sqrt(best)
     return M
 
 

@@ -63,7 +63,10 @@ def main():
     X = rng.uniform(-0.99, 0.99, (n, 2))
     Y = np.sin(3 * X[:, 0]) * np.cos(2 * X[:, 1]) + 0.1 * rng.randn(n)
     splits = split_data_numpy(X, Y, args.agents, "regional")
-    batch = make_agent_batch(splits)
+    # round per-agent padding up so the row axis divides by the data columns
+    cols = int(args.mesh.split("x")[1]) if args.mesh else 1
+    n_max = max(x.shape[0] for x, _ in splits)
+    batch = make_agent_batch(splits, pad_to=((n_max + cols - 1) // cols) * cols)
     theta, psi, _ = init_admm_state(args.agents, P, 42, 100.0)
     theta, psi = jnp.asarray(theta), jnp.asarray(psi)
 

@@ -143,3 +143,19 @@ def test_quantum_kernel_facade():
     out = qk.evaluate_derivatives(X, X, values=("K", "dKdp"))
     assert out["dKdp"].shape == (6, 5, 5)
     np.testing.assert_allclose(out["K"], K, atol=1e-6)
+
+
+def test_evaluate_value_equal_inputs_regularized():
+    """evaluate(X, X.copy()) must take the symmetric (regularized) path when
+    the spec carries regularization — squlearn regularizes square Grams."""
+    from dqgp_tpu.models.kernels import create_quantum_kernel
+
+    k = create_quantum_kernel(3, 2, 1, encoding_type="hubregtsen",
+                              kernel_type="projected",
+                              regularization="thresholding")
+    rng = np.random.RandomState(0)
+    X = rng.uniform(-0.9, 0.9, (12, 2))
+    k.assign_parameters(rng.uniform(0, np.pi, k.num_parameters))
+    K_sym = k.evaluate(X)
+    K_copy = k.evaluate(X, X.copy())
+    np.testing.assert_allclose(K_copy, K_sym, rtol=0, atol=0)

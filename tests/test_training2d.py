@@ -202,3 +202,18 @@ def test_driver_train_on_2d_mesh():
     r2 = train(spec, splits, X, Y, TrainConfig(**base, data_mesh_cols=2))
     np.testing.assert_array_equal(np.round(r1.z, 4), np.round(r2.z, 4))
     assert abs(r1.cv_best - r2.cv_best) < 1e-6
+
+
+def test_mesh2d_rejects_regularization():
+    """Row-sharded panels cannot apply square-Gram regularization; the 2-D
+    step must refuse rather than silently diverge from the 1-D paths."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    spec = QuantumKernelSpec(
+        circuit=build_circuit("hubregtsen", 3, 2, 1),
+        kernel_type="projected", outer_kernel="matern",
+        regularization="thresholding",
+    )
+    mesh = agents_data_mesh(2, 2)
+    with pytest.raises(NotImplementedError):
+        make_admm_step_2d(spec, mesh, rho=100.0, L=100.0, noise_std=0.1)
