@@ -122,6 +122,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="write structured run metrics to this JSON file")
     parser.add_argument("--mesh-devices", type=int, default=None,
                         help="number of devices for the agents mesh (default: all)")
+    parser.add_argument("--cv-max-samples", type=int, default=None,
+                        help="subsample the training set for per-iteration CV "
+                             "beyond this size (the dense fold Grams are "
+                             "O(n^2); scale-out runs cap the CV set)")
+    parser.add_argument("--predict-cg-threshold", type=int, default=8192,
+                        help="above this training size the final prediction "
+                             "uses the matrix-free CG posterior instead of "
+                             "the dense Cholesky (train-set evaluation then "
+                             "runs on a subsample of this size)")
     parser.add_argument("--data-mesh-cols", type=int, default=None,
                         help=">1: train on an agents x data 2-D mesh — each "
                              "agent's Gram panels row-shard over this many "
@@ -330,6 +339,7 @@ def main(argv=None):
         run_cv=not args.no_cv,
         n_mesh_devices=args.mesh_devices,
         data_mesh_cols=args.data_mesh_cols,
+        cv_max_samples=args.cv_max_samples,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         verbose=not args.quiet,
@@ -352,27 +362,42 @@ def main(argv=None):
         log(f"Best CV params:         {res.z_best_cv} (CV-NLPD {res.cv_best:.6f})")
 
     # --- final prediction + evaluation (main.py:3104-3682) --------------------
-    mean, var = predict_quantum_gp(
-        spec, jnp.asarray(X_train), jnp.asarray(Y_train), jnp.asarray(X_test),
-        jnp.asarray(hyperparams, jnp.float64), noise_std=args.noise_std,
-    )
+    large_n = len(X_train) > args.predict_cg_threshold
+
+    def _predict(X_eval, params):
+        params64 = jnp.asarray(params, jnp.float64)
+        if large_n:
+            # dense Gram no longer fits — matrix-free CG posterior
+            from .parallel.blocked import predict_quantum_gp_large
+
+            return predict_quantum_gp_large(
+                spec, X_train, Y_train, X_eval, params64, args.noise_std)
+        return predict_quantum_gp(
+            spec, jnp.asarray(X_train), jnp.asarray(Y_train),
+            jnp.asarray(X_eval), params64, noise_std=args.noise_std)
+
+    if large_n:
+        log(f"n_train={len(X_train)} > --predict-cg-threshold="
+            f"{args.predict_cg_threshold}: matrix-free CG posterior")
+    mean, var = _predict(X_test, hyperparams)
     test_metrics = evaluate_predictions(Y_test, np.asarray(mean), np.asarray(var),
                                         "Test", verbose=not args.quiet)
-    mean_tr, var_tr = predict_quantum_gp(
-        spec, jnp.asarray(X_train), jnp.asarray(Y_train), jnp.asarray(X_train),
-        jnp.asarray(hyperparams, jnp.float64), noise_std=args.noise_std,
-    )
-    train_metrics = evaluate_predictions(Y_train, np.asarray(mean_tr), np.asarray(var_tr),
+    # overfitting check (main.py:3162-3182); at scale, on a seeded subsample
+    if large_n:
+        tr_sel = np.random.RandomState(args.seed).choice(
+            len(X_train), args.predict_cg_threshold, replace=False)
+        X_tr_eval, Y_tr_eval = X_train[tr_sel], Y_train[tr_sel]
+    else:
+        X_tr_eval, Y_tr_eval = X_train, Y_train
+    mean_tr, var_tr = _predict(X_tr_eval, hyperparams)
+    train_metrics = evaluate_predictions(Y_tr_eval, np.asarray(mean_tr), np.asarray(var_tr),
                                          "Train", verbose=not args.quiet)
 
     gt_metrics = None
     gt_comparison = None
     nll_corr = None
     if ground_truth_params is not None:
-        gt_mean, gt_var = predict_quantum_gp(
-            spec, jnp.asarray(X_train), jnp.asarray(Y_train), jnp.asarray(X_test),
-            jnp.asarray(ground_truth_params, jnp.float64), noise_std=args.noise_std,
-        )
+        gt_mean, gt_var = _predict(X_test, ground_truth_params)
         gt_metrics = evaluate_predictions(Y_test, np.asarray(gt_mean), np.asarray(gt_var),
                                           "Ground-truth-params Test", verbose=False)
         gt_err = M.np_distance(np.asarray(hyperparams), ground_truth_params)

@@ -54,6 +54,9 @@ class TrainConfig:
     grad_method: str = "central"    # "central" (parity) | "streamed" (parity,
                                     # O(N^2) memory) | "autodiff" (exact)
     run_cv: bool = True             # per-iteration k-fold CV model selection
+    cv_max_samples: Optional[int] = None  # subsample X_train for CV beyond
+                                    # this size (the dense fold Grams are
+                                    # O(n^2); scale-out runs cap the CV set)
     n_mesh_devices: Optional[int] = None  # None = all local devices
     data_mesh_cols: Optional[int] = None  # >1: agents x data 2-D mesh — each
                                     # agent's Gram panels row-shard over this
@@ -227,6 +230,7 @@ def train(
     # secondary-program slow path both disappear; fold shapes are
     # deterministic in (n, k), so this compiles once).
     step_with_cv = None
+    X_cv, Y_cv = X_train, Y_train
     if cfg.run_cv:
         from .models.gp.cv import (
             aggregate_cv_scores,
@@ -234,9 +238,19 @@ def train(
             kfold_pad_indices,
         )
 
+        if cfg.cv_max_samples and len(X_train) > cfg.cv_max_samples:
+            # scale-out: the dense fold Grams are O(n^2) — model-select on a
+            # seeded subsample (documented divergence; the reference's CV
+            # cannot run at these sizes at all)
+            sel = np.random.RandomState(cfg.seed).choice(
+                len(X_train), cfg.cv_max_samples, replace=False)
+            X_cv, Y_cv = X_train[sel], Y_train[sel]
+            log(f"CV model selection on a {cfg.cv_max_samples}-sample subset "
+                f"of {len(X_train)} training rows")
+
         base_step = step
-        Xtr_j = jnp.asarray(X_train)
-        Ytr_j = jnp.asarray(Y_train)
+        Xtr_j = jnp.asarray(X_cv)
+        Ytr_j = jnp.asarray(Y_cv)
 
         @jax.jit
         def step_with_cv(theta, psi, batch, X_tr, Y_tr, tr_i, tr_m, va_i, va_m):
@@ -263,7 +277,7 @@ def train(
         fold_scores = None
         if step_with_cv is not None:
             try:
-                idx = kfold_pad_indices(len(X_train), cfg.cv_folds,
+                idx = kfold_pad_indices(len(X_cv), cfg.cv_folds,
                                         cfg.seed + it)  # seed+iter (main.py:2665)
                 out, fold_scores = step_with_cv(theta, psi, batch,
                                                 Xtr_j, Ytr_j, *idx)
@@ -311,7 +325,7 @@ def train(
                     cv = aggregate_cv_scores(*fold_scores, cfg.cv_folds)
                 else:
                     cv = k_fold_cross_validation_consensus(
-                        spec, X_train, Y_train, z, cfg.noise_std,
+                        spec, X_cv, Y_cv, z, cfg.noise_std,
                         k_folds=cfg.cv_folds,
                         random_seed=cfg.seed + it,  # per-iter seed (main.py:2665)
                         cv_dtype=cfg.cv_dtype,

@@ -613,3 +613,34 @@ def make_distributed_cholesky_nll(
         in_specs=(P(data_axis), P(data_axis)),
         out_specs=(P(), P(), P(), P()),
     ))
+
+
+def predict_quantum_gp_large(
+    spec: QuantumKernelSpec,
+    X_train,
+    Y_train,
+    X_test,
+    theta,
+    noise_std: float,
+    jitter: float = 1e-6,
+    block: int = 4096,
+    cg_tol: float = 1e-6,
+    cg_maxiter: int = 400,
+    precond_rank: int = 64,
+) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in twin of ``predict_quantum_gp`` for training sets whose dense
+    Gram no longer fits: features once, then the matrix-free CG posterior
+    (``gp_posterior_large``) — exact GP math, accuracy set by ``cg_tol``.
+    The CLI routes here automatically above ``--predict-cg-threshold``."""
+    from ..models.kernels.quantum_kernel import kernel_features
+
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    theta32 = jnp.asarray(theta, jnp.float32)
+    F_tr = kernel_features(spec, jnp.asarray(X_train, jnp.float32), theta32).astype(dtype)
+    F_te = kernel_features(spec, jnp.asarray(X_test, jnp.float32), theta32).astype(dtype)
+    mean, var, _ = gp_posterior_large(
+        spec, F_tr, jnp.asarray(Y_train, dtype), F_te, noise_std,
+        jitter=jitter, block=block, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+        precond_rank=precond_rank,
+    )
+    return mean, var
