@@ -634,13 +634,29 @@ def predict_quantum_gp_large(
     The CLI routes here automatically above ``--predict-cg-threshold``."""
     from ..models.kernels.quantum_kernel import kernel_features
 
-    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    # f64 on CPU; f32 on TPU — the CG accuracy is governed by cg_tol, and
+    # emulated-f64 while_loop state at (N, M) right-hand sides exhausts HBM
+    # (observed: worker crash at N=18k, M=2k in f64; f32 is the measured
+    # round-1 configuration at N=50k).
+    on_cpu = jax.default_backend() == "cpu"
+    dtype = jnp.float64 if (on_cpu and jax.config.jax_enable_x64) else jnp.float32
     theta32 = jnp.asarray(theta, jnp.float32)
-    F_tr = kernel_features(spec, jnp.asarray(X_train, jnp.float32), theta32).astype(dtype)
-    F_te = kernel_features(spec, jnp.asarray(X_test, jnp.float32), theta32).astype(dtype)
-    mean, var, _ = gp_posterior_large(
-        spec, F_tr, jnp.asarray(Y_train, dtype), F_te, noise_std,
-        jitter=jitter, block=block, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
-        precond_rank=precond_rank,
-    )
-    return mean, var
+    # jit the feature pass: eager statevector ops are not TPU-safe (weak
+    # complex scalars materialize as c128, which the backend rejects)
+    feats = jax.jit(lambda X, t: kernel_features(spec, X, t))
+    F_tr = feats(jnp.asarray(X_train, jnp.float32), theta32).astype(dtype)
+    F_te = feats(jnp.asarray(X_test, jnp.float32), theta32).astype(dtype)
+    y = jnp.asarray(Y_train, dtype)
+    # chunk the test points: the variance path batches one CG right-hand
+    # side per test point, so live memory scales with the chunk size
+    test_chunk = 512
+    means, vars_ = [], []
+    for s in range(0, F_te.shape[0], test_chunk):
+        m, v, _ = gp_posterior_large(
+            spec, F_tr, y, F_te[s:s + test_chunk], noise_std,
+            jitter=jitter, block=block, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+            precond_rank=precond_rank,
+        )
+        means.append(m)
+        vars_.append(v)
+    return jnp.concatenate(means), jnp.concatenate(vars_)
