@@ -126,3 +126,35 @@ def test_preconditioned_cg_converges_faster():
     # both converge to the same solution
     np.testing.assert_allclose(np.asarray(res_p.x), np.asarray(res_j.x),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_predict_quantum_gp_large_matches_dense():
+    """The CG prediction route must agree with the dense posterior to
+    cg_tol-governed accuracy (it is the CLI's path above
+    --predict-cg-threshold)."""
+    import jax.numpy as jnp
+
+    from dqgp_tpu.models.circuits import build_circuit
+    from dqgp_tpu.models.gp.posterior import predict_quantum_gp
+    from dqgp_tpu.models.kernels import QuantumKernelSpec
+    from dqgp_tpu.parallel.blocked import predict_quantum_gp_large
+
+    spec = QuantumKernelSpec(
+        circuit=build_circuit("hubregtsen", 3, 2, 1),
+        kernel_type="projected", outer_kernel="matern",
+    )
+    rng = np.random.RandomState(0)
+    Xtr = rng.uniform(-0.9, 0.9, (160, 2))
+    Ytr = np.sin(3 * Xtr[:, 0]) + 0.1 * rng.randn(160)
+    Xte = rng.uniform(-0.9, 0.9, (600, 2))  # > test_chunk: exercises chunking
+    theta = rng.uniform(0, np.pi, spec.num_parameters)
+
+    m_d, v_d = predict_quantum_gp(
+        spec, jnp.asarray(Xtr), jnp.asarray(Ytr), jnp.asarray(Xte),
+        jnp.asarray(theta, jnp.float64), noise_std=0.1)
+    m_c, v_c = predict_quantum_gp_large(
+        spec, Xtr, Ytr, Xte, theta, 0.1, cg_tol=1e-8, cg_maxiter=600)
+    np.testing.assert_allclose(np.asarray(m_c), np.asarray(m_d),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_d),
+                               rtol=1e-3, atol=1e-6)
