@@ -640,12 +640,18 @@ def predict_quantum_gp_large(
     # round-1 configuration at N=50k).
     on_cpu = jax.default_backend() == "cpu"
     dtype = jnp.float64 if (on_cpu and jax.config.jax_enable_x64) else jnp.float32
+    # fidelity features are complex statevectors — keep them complex
+    # (c128 only where the backend supports it)
+    if spec.kernel_type == "fidelity":
+        fdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+    else:
+        fdtype = dtype
     theta32 = jnp.asarray(theta, jnp.float32)
     # jit the feature pass: eager statevector ops are not TPU-safe (weak
     # complex scalars materialize as c128, which the backend rejects)
     feats = jax.jit(lambda X, t: kernel_features(spec, X, t))
-    F_tr = feats(jnp.asarray(X_train, jnp.float32), theta32).astype(dtype)
-    F_te = feats(jnp.asarray(X_test, jnp.float32), theta32).astype(dtype)
+    F_tr = feats(jnp.asarray(X_train, jnp.float32), theta32).astype(fdtype)
+    F_te = feats(jnp.asarray(X_test, jnp.float32), theta32).astype(fdtype)
     y = jnp.asarray(Y_train, dtype)
     # chunk the test points: the variance path batches one CG right-hand
     # side per test point, so live memory scales with the chunk size

@@ -158,3 +158,31 @@ def test_predict_quantum_gp_large_matches_dense():
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_d),
                                rtol=1e-3, atol=1e-6)
+
+
+def test_predict_quantum_gp_large_fidelity():
+    """Fidelity kernels carry complex features through the CG route."""
+    import jax.numpy as jnp
+
+    from dqgp_tpu.models.circuits import build_circuit
+    from dqgp_tpu.models.gp.posterior import predict_quantum_gp
+    from dqgp_tpu.models.kernels import QuantumKernelSpec
+    from dqgp_tpu.parallel.blocked import predict_quantum_gp_large
+
+    spec = QuantumKernelSpec(
+        circuit=build_circuit("yz_cx", 3, 2, 1), kernel_type="fidelity")
+    rng = np.random.RandomState(1)
+    Xtr = rng.uniform(-0.9, 0.9, (96, 2))
+    Ytr = np.sin(3 * Xtr[:, 0]) + 0.1 * rng.randn(96)
+    Xte = rng.uniform(-0.9, 0.9, (24, 2))
+    theta = rng.uniform(0, np.pi, spec.num_parameters)
+
+    m_d, v_d = predict_quantum_gp(
+        spec, jnp.asarray(Xtr), jnp.asarray(Ytr), jnp.asarray(Xte),
+        jnp.asarray(theta, jnp.float64), noise_std=0.1)
+    m_c, v_c = predict_quantum_gp_large(
+        spec, Xtr, Ytr, Xte, theta, 0.1, cg_tol=1e-8, cg_maxiter=400)
+    np.testing.assert_allclose(np.asarray(m_c), np.asarray(m_d),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_c), np.asarray(v_d),
+                               rtol=1e-3, atol=1e-6)
