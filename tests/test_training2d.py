@@ -217,3 +217,24 @@ def test_mesh2d_rejects_regularization():
     mesh = agents_data_mesh(2, 2)
     with pytest.raises(NotImplementedError):
         make_admm_step_2d(spec, mesh, rho=100.0, L=100.0, noise_std=0.1)
+
+
+def test_driver_train_2d_ragged_shards():
+    """Regional splits produce ragged shard sizes; the driver must round
+    per-agent padding up to the data-column count."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dqgp_tpu.driver import TrainConfig, train
+
+    spec = _spec()
+    rng = np.random.RandomState(5)
+    X = rng.uniform(-0.9, 0.9, (101, 2))  # odd count -> ragged regional split
+    Y = np.sin(3 * X[:, 0]) + 0.2 * rng.randn(101)
+    splits = split_data_numpy(X, Y, 4, "regional")
+    sizes = {len(x) for x, _ in splits}
+    assert len(sizes) > 1  # genuinely ragged
+
+    r = train(spec, splits, X, Y,
+              TrainConfig(max_iter=1, verbose=False, compute_cond=False,
+                          data_mesh_cols=2))
+    assert np.all(np.isfinite(r.z))
