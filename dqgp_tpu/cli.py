@@ -362,16 +362,29 @@ def main(argv=None):
         log(f"Best CV params:         {res.z_best_cv} (CV-NLPD {res.cv_best:.6f})")
 
     # --- final prediction + evaluation (main.py:3104-3682) --------------------
-    large_n = len(X_train) > args.predict_cg_threshold
+    large_n = len(X_train) > max(args.predict_cg_threshold, 1)
+    if large_n and spec.regularization is not None:
+        # the matrix-free posterior cannot apply square-Gram regularization;
+        # the dense path can — honor the kernel spec over the speed route
+        log("regularization set: staying on the dense posterior despite "
+            f"n_train={len(X_train)} > --predict-cg-threshold")
+        large_n = False
+
+    _cg_predictors = {}
 
     def _predict(X_eval, params):
         params64 = jnp.asarray(params, jnp.float64)
         if large_n:
-            # dense Gram no longer fits — matrix-free CG posterior
-            from .parallel.blocked import predict_quantum_gp_large
+            # dense Gram no longer fits — matrix-free CG posterior; one
+            # predictor per parameter vector (training features, the
+            # preconditioner, and the alpha solve are computed once)
+            from .parallel.blocked import make_cg_predictor
 
-            return predict_quantum_gp_large(
-                spec, X_train, Y_train, X_eval, params64, args.noise_std)
+            key = np.asarray(params, np.float64).tobytes()
+            if key not in _cg_predictors:
+                _cg_predictors[key] = make_cg_predictor(
+                    spec, X_train, Y_train, params64, args.noise_std)
+            return _cg_predictors[key](X_eval)
         return predict_quantum_gp(
             spec, jnp.asarray(X_train), jnp.asarray(Y_train),
             jnp.asarray(X_eval), params64, noise_std=args.noise_std)
@@ -384,14 +397,17 @@ def main(argv=None):
                                         "Test", verbose=not args.quiet)
     # overfitting check (main.py:3162-3182); at scale, on a seeded subsample
     if large_n:
+        sub_n = min(len(X_train), max(args.predict_cg_threshold, 1024))
         tr_sel = np.random.RandomState(args.seed).choice(
-            len(X_train), args.predict_cg_threshold, replace=False)
+            len(X_train), sub_n, replace=False)
         X_tr_eval, Y_tr_eval = X_train[tr_sel], Y_train[tr_sel]
+        train_label = f"Train ({sub_n}-sample subsample)"
     else:
         X_tr_eval, Y_tr_eval = X_train, Y_train
+        train_label = "Train"
     mean_tr, var_tr = _predict(X_tr_eval, hyperparams)
     train_metrics = evaluate_predictions(Y_tr_eval, np.asarray(mean_tr), np.asarray(var_tr),
-                                         "Train", verbose=not args.quiet)
+                                         train_label, verbose=not args.quiet)
 
     gt_metrics = None
     gt_comparison = None

@@ -157,10 +157,16 @@ def train(
         from .parallel import agents_data_mesh
 
         cols = cfg.data_mesh_cols
+        if cols > n_dev:
+            raise ValueError(
+                f"data_mesh_cols={cols} exceeds the available device budget "
+                f"({n_dev}; n_mesh_devices caps it)"
+            )
         rows = max(1, n_dev // cols)
         while rows > 1 and n_agents % rows != 0:
             rows -= 1
-        mesh2d = agents_data_mesh(rows, cols)
+        # honor the n_mesh_devices cap: hand the mesh exactly rows*cols devices
+        mesh2d = agents_data_mesh(rows, cols, devices=devs[: rows * cols])
         mesh = None
     else:
         n_dev = min(n_dev, n_agents)

@@ -278,10 +278,9 @@ class QuantumKernel:
             raise ValueError("parameters not assigned")
         XA_j = jnp.asarray(XA)
         symmetric = XB is None or XB is XA
-        if not symmetric and self.spec.regularization is not None:
-            XB_a = np.asarray(XB)
-            XA_a = np.asarray(XA)
-            symmetric = XB_a.shape == XA_a.shape and np.array_equal(XB_a, XA_a)
+        if (not symmetric and self.spec.regularization is not None
+                and np.shape(XB) == np.shape(XA)):  # metadata only, no sync
+            symmetric = np.array_equal(np.asarray(XB), np.asarray(XA))
         if symmetric:
             K = self._sym_gram_jit(XA_j, self._parameters)
         else:

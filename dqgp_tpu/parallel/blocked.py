@@ -439,7 +439,10 @@ def pivoted_cholesky(
     entries) — total work O(rank * N * D) + O(rank^2 * N). Returns L with
     K ≈ L^T L, L: (rank, N). Jittable (static rank)."""
     n = F.shape[0]
-    dtype = jnp.float32 if F.dtype == jnp.float32 else jnp.float64
+    # single-precision features (f32, or c64 fidelity states) keep the
+    # preconditioner in f32 — emulated f64 here would dominate the setup
+    dtype = (jnp.float32 if F.dtype in (jnp.float32, jnp.complex64)
+             else jnp.float64)
 
     if spec.kernel_type == "fidelity":
         d0 = jnp.ones((n,), dtype)
@@ -615,11 +618,10 @@ def make_distributed_cholesky_nll(
     ))
 
 
-def predict_quantum_gp_large(
+def make_cg_predictor(
     spec: QuantumKernelSpec,
     X_train,
     Y_train,
-    X_test,
     theta,
     noise_std: float,
     jitter: float = 1e-6,
@@ -627,21 +629,26 @@ def predict_quantum_gp_large(
     cg_tol: float = 1e-6,
     cg_maxiter: int = 400,
     precond_rank: int = 64,
-) -> Tuple[jax.Array, jax.Array]:
-    """Drop-in twin of ``predict_quantum_gp`` for training sets whose dense
-    Gram no longer fits: features once, then the matrix-free CG posterior
-    (``gp_posterior_large``) — exact GP math, accuracy set by ``cg_tol``.
-    The CLI routes here automatically above ``--predict-cg-threshold``."""
+    test_chunk: int = 512,
+) -> Callable:
+    """CG-posterior predictor with the expensive per-(X_train, theta) state
+    computed ONCE: training features, the pivoted-Cholesky/Woodbury
+    preconditioner, and the alpha solve. The returned callable evaluates
+    (mean, var) for any X_eval — the CLI calls it for the test set, the
+    train-subsample overfitting check, and (via a second predictor) the
+    ground-truth comparison without re-simulating the training rows.
+
+    dtype: f64 on CPU; f32 on TPU — CG accuracy is governed by ``cg_tol``,
+    and emulated-f64 while_loop state at (N, M) right-hand sides exhausts
+    HBM (observed: worker crash at N=18k, M=2k in f64). Fidelity features
+    stay complex. Eval points are chunked (``test_chunk``) so the variance
+    path's live memory is bounded.
+    """
+    _check_no_regularization(spec)
     from ..models.kernels.quantum_kernel import kernel_features
 
-    # f64 on CPU; f32 on TPU — the CG accuracy is governed by cg_tol, and
-    # emulated-f64 while_loop state at (N, M) right-hand sides exhausts HBM
-    # (observed: worker crash at N=18k, M=2k in f64; f32 is the measured
-    # round-1 configuration at N=50k).
     on_cpu = jax.default_backend() == "cpu"
     dtype = jnp.float64 if (on_cpu and jax.config.jax_enable_x64) else jnp.float32
-    # fidelity features are complex statevectors — keep them complex
-    # (c128 only where the backend supports it)
     if spec.kernel_type == "fidelity":
         fdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
     else:
@@ -651,18 +658,52 @@ def predict_quantum_gp_large(
     # complex scalars materialize as c128, which the backend rejects)
     feats = jax.jit(lambda X, t: kernel_features(spec, X, t))
     F_tr = feats(jnp.asarray(X_train, jnp.float32), theta32).astype(fdtype)
-    F_te = feats(jnp.asarray(X_test, jnp.float32), theta32).astype(fdtype)
     y = jnp.asarray(Y_train, dtype)
-    # chunk the test points: the variance path batches one CG right-hand
-    # side per test point, so live memory scales with the chunk size
-    test_chunk = 512
-    means, vars_ = [], []
-    for s in range(0, F_te.shape[0], test_chunk):
-        m, v, _ = gp_posterior_large(
-            spec, F_tr, y, F_te[s:s + test_chunk], noise_std,
-            jitter=jitter, block=block, cg_tol=cg_tol, cg_maxiter=cg_maxiter,
-            precond_rank=precond_rank,
-        )
-        means.append(m)
-        vars_.append(v)
-    return jnp.concatenate(means), jnp.concatenate(vars_)
+    n = F_tr.shape[0]
+    mask = jnp.ones((n,), dtype)
+    sigma2 = noise_std**2 + jitter
+
+    def A(v):
+        return gram_matvec(spec, F_tr, v, mask, block) + sigma2 * v
+
+    def k_diag(F):
+        if spec.kernel_type == "fidelity":
+            return jnp.ones((F.shape[0],), dtype)
+        return outer_diag(spec.outer_kernel, F, spec.outer_params).astype(dtype)
+
+    if precond_rank > 0:
+        Lp = pivoted_cholesky(spec, F_tr, min(precond_rank, n))
+        precond = woodbury_preconditioner(Lp.astype(dtype), sigma2)
+    else:
+        precond = k_diag(F_tr) + sigma2
+
+    alpha = cg_solve(A, y[:, None], cg_tol, cg_maxiter, precond).x[:, 0]
+
+    def predict(X_eval) -> Tuple[jax.Array, jax.Array]:
+        F_ev = feats(jnp.asarray(X_eval, jnp.float32), theta32).astype(fdtype)
+        means, vars_ = [], []
+        for s in range(0, F_ev.shape[0], test_chunk):
+            F_c = F_ev[s:s + test_chunk]
+            K_ts = gram_from_features(spec, F_tr, F_c).astype(dtype)  # (N, m)
+            means.append(K_ts.T @ alpha)
+            sol = cg_solve(A, K_ts, cg_tol, cg_maxiter, precond)
+            vars_.append(jnp.maximum(
+                k_diag(F_c) - jnp.sum(K_ts * sol.x, axis=0), 1e-10))
+        return jnp.concatenate(means), jnp.concatenate(vars_)
+
+    return predict
+
+
+def predict_quantum_gp_large(
+    spec: QuantumKernelSpec,
+    X_train,
+    Y_train,
+    X_test,
+    theta,
+    noise_std: float,
+    **kwargs,
+) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in twin of ``predict_quantum_gp`` for training sets whose dense
+    Gram no longer fits (one-shot form of ``make_cg_predictor``)."""
+    return make_cg_predictor(spec, X_train, Y_train, theta, noise_std,
+                             **kwargs)(X_test)
