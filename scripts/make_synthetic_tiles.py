@@ -1,14 +1,19 @@
 #!/usr/bin/env python
-"""Generate synthetic stand-in SRTM .hgt tiles for regions whose real tiles
-are absent from the snapshot (the reference repo also lacks the blobs —
-its `.MISSING_LARGE_BLOBS`; see real_world_datasets.py:267-292 for the
-region table). Terrain is a deterministic sum of smooth ridges + valley
-noise shaped to each region's plausible elevation band, written as
-big-endian int16 in the 3-arc-second 1201^2 format (also exercising the
-size-sniffing branch of read_hgt_file) with a few -32768 voids so the
-cleaning path is driven.
+"""Generate synthetic stand-in SRTM .hgt tiles for all four reference regions.
+
+The reference repo lacks the real tile blobs (`.MISSING_LARGE_BLOBS`; see
+real_world_datasets.py:267-292 for the region table), so every region rides
+a deterministic synthetic tile here. Terrain is a sum of smooth ridges +
+valley noise shaped to each region's plausible elevation band (within the
+per-region clamp limits of the loader), written as big-endian int16 in the
+3-arc-second 1201^2 format (also exercising the size-sniffing branch of
+``read_hgt_file``) with a few -32768 voids so the cleaning path is driven.
 
 Usage: python scripts/make_synthetic_tiles.py [outdir]
+
+Tests and the CLI demo self-provision via ``ensure_tiles``: only missing
+tiles are generated (~0.5 s each), so a pre-populated ``srtm_data/`` —
+e.g. with real 3601^2 1-arc-second tiles — is never overwritten.
 """
 
 import os
@@ -18,8 +23,13 @@ import numpy as np
 
 TILES = {
     # tile: (seed, base elevation m, relief m, void fraction)
+    # bands sit inside the loader's per-region clamp limits
+    # (real_world_datasets.py:447-464): maharashtra 0-2000, great_lakes
+    # 75-600, oregon_coast 0-1500, washington_coast 0-3000.
+    "N17E073": (17, 60.0, 1300.0, 0.002),   # maharashtra: Western Ghats scarp
     "N43W080": (43, 120.0, 350.0, 0.001),   # great_lakes: low rolling
     "N45W123": (45, 150.0, 1100.0, 0.002),  # oregon_coast: coast range
+    "N47W124": (47, 5.0, 2200.0, 0.003),    # washington_coast: Olympics
 }
 
 
@@ -37,19 +47,31 @@ def synth(seed: int, base: float, relief: float, n: int = 1201) -> np.ndarray:
     return z
 
 
+def write_tile(tile: str, outdir: str) -> str:
+    seed, base, relief, void_frac = TILES[tile]
+    z = synth(seed, base, relief)
+    rng = np.random.RandomState(seed + 1000)
+    voids = rng.rand(*z.shape) < void_frac
+    arr = np.round(z).astype(np.int16)
+    arr[voids] = np.int16(-32768)
+    path = os.path.join(outdir, f"{tile}.hgt")
+    arr.astype(">i2").tofile(path)
+    return path
+
+
+def ensure_tiles(outdir: str = "srtm_data") -> None:
+    """Generate any missing tiles into ``outdir`` (existing files are kept)."""
+    os.makedirs(outdir, exist_ok=True)
+    for tile in TILES:
+        if not os.path.exists(os.path.join(outdir, f"{tile}.hgt")):
+            write_tile(tile, outdir)
+
+
 def main(outdir: str = "srtm_data"):
     os.makedirs(outdir, exist_ok=True)
-    for tile, (seed, base, relief, void_frac) in TILES.items():
-        z = synth(seed, base, relief)
-        rng = np.random.RandomState(seed + 1000)
-        voids = rng.rand(*z.shape) < void_frac
-        arr = np.round(z).astype(np.int16)
-        arr[voids] = np.int16(-32768)
-        path = os.path.join(outdir, f"{tile}.hgt")
-        arr.astype(">i2").tofile(path)
-        print(f"{path}: {os.path.getsize(path)} bytes, "
-              f"elev [{arr[~voids].min()}, {arr[~voids].max()}] m, "
-              f"{voids.sum()} voids")
+    for tile in TILES:
+        path = write_tile(tile, outdir)
+        print(f"{path}: {os.path.getsize(path)} bytes")
 
 
 if __name__ == "__main__":

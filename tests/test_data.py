@@ -2,6 +2,7 @@
 round-trip, real-world loader cleaning rules."""
 
 import os
+import sys
 
 import numpy as np
 import pytest
@@ -170,12 +171,19 @@ def test_sst_and_robot_loaders():
 
 def test_all_four_srtm_regions_loadable():
     """Every region in the reference's table (real_world_datasets.py:267-292)
-    must be drivable; great_lakes/oregon ride 1201^2 3-arc-sec synthetic
-    stand-in tiles (scripts/make_synthetic_tiles.py), exercising the
-    size-sniffing branch of read_hgt_file."""
+    must be drivable on 1201^2 3-arc-sec synthetic stand-in tiles
+    (scripts/make_synthetic_tiles.py — self-provisioned here, since
+    srtm_data/ is gitignored), exercising the size-sniffing branch of
+    read_hgt_file."""
     from dqgp_tpu.data.real_world import SRTM_REGIONS, load_srtm_elevation_dataset
 
     REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    try:
+        from make_synthetic_tiles import ensure_tiles
+    finally:
+        sys.path.pop(0)
+    ensure_tiles(os.path.join(REPO, "srtm_data"))
 
     for region, info in SRTM_REGIONS.items():
         X, Y = load_srtm_elevation_dataset(
