@@ -217,7 +217,10 @@ def load_srtm_elevation_dataset(
                 path = alt
             else:
                 raise FileNotFoundError(
-                    f"HGT file not found for tile {tile} in {os.path.abspath(data_dir)}"
+                    f"HGT file not found for tile {tile} in "
+                    f"{os.path.abspath(data_dir)}. Place a real SRTM tile "
+                    f"there, or generate synthetic stand-in tiles with "
+                    f"`python scripts/make_synthetic_tiles.py {data_dir}`."
                 )
         elevation = read_hgt_file(path)
 

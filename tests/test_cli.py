@@ -126,3 +126,25 @@ def test_cli_autodiff_grad_method():
         "--cv-folds", "3", "--data-seed", "6", "--no-plot", "--no-cond", "--quiet",
     ])
     assert np.isfinite(s["test_metrics"]["nlpd"])
+
+
+def test_cli_cg_prediction_route_matches_dense():
+    """--predict-cg-threshold below n_train routes the final predict through
+    the matrix-free CG posterior (cli.py large_n branch); its predictions
+    must match the dense-posterior route on the same trained run."""
+    from dqgp_tpu.cli import main
+
+    base = [
+        "--input-dim", "2", "--n-dataset", "48", "--encoding", "hubregtsen",
+        "--kernel-type", "projected", "--num-qubits", "2", "--num-layers", "1",
+        "--outer-kernel", "matern", "--n-agents", "2", "--max-iter", "2",
+        "--cv-folds", "3", "--data-seed", "7", "--no-plot", "--no-cond",
+        "--quiet",
+    ]
+    dense = main(base)
+    cg = main(base + ["--predict-cg-threshold", "16"])
+    for k in ("rmse", "r2", "nlpd"):
+        assert np.isclose(dense["test_metrics"][k], cg["test_metrics"][k],
+                          rtol=1e-3, atol=1e-3), k
+    # the CG route evaluates train metrics on a seeded subsample
+    assert np.isfinite(cg["train_metrics"]["rmse"])
