@@ -135,9 +135,18 @@ def build_parser() -> argparse.ArgumentParser:
                         help=">1: train on an agents x data 2-D mesh — each "
                              "agent's Gram panels row-shard over this many "
                              "devices (scale-out; implies streamed gradients)")
-    parser.add_argument("--cv-dtype", choices=["float64", "float32"], default="float64",
-                        help="dtype for the per-iteration CV folds (float32 is ~10x "
-                             "faster on TPU; selection only needs NLPD ordering)")
+    parser.add_argument("--cv-dtype", choices=["float64", "mixed", "float32"],
+                        default="float64",
+                        help="dtype for the per-iteration CV folds (mixed = f64 "
+                             "numerics through an f32 factorization + f64 "
+                             "refinement, near-f32 cost; float32 is fastest; "
+                             "selection only needs NLPD ordering)")
+    parser.add_argument("--gp-dtype", choices=["float64", "mixed", "float32"],
+                        default="float64",
+                        help="dtype for the per-agent NLL/gradient linalg "
+                             "(mixed = f64-grade accuracy via f32 factorization "
+                             "+ f64 iterative refinement, ~7x faster ADMM "
+                             "iterations on TPU where f64 is emulated)")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a jax.profiler trace of the training loop "
                              "into this directory (view with TensorBoard/XProf)")
@@ -335,6 +344,7 @@ def main(argv=None):
         parity_round=not args.no_parity_round,
         compute_cond=not args.no_cond,
         grad_method=args.grad_method,
+        gp_dtype=args.gp_dtype,
         cv_dtype=args.cv_dtype,
         run_cv=not args.no_cv,
         n_mesh_devices=args.mesh_devices,

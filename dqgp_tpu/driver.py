@@ -48,8 +48,11 @@ class TrainConfig:
     seed: int = 42
     parity_round: bool = True       # 4-decimal quantization (reference quirk)
     compute_cond: bool = True       # per-iteration condition numbers (eigvalsh)
-    gp_dtype: str = "float64"       # GP linalg dtype ("float32" for raw TPU speed)
-    cv_dtype: str = "float64"       # CV fold dtype ("float32": ~10x faster folds on TPU)
+    gp_dtype: str = "float64"       # GP linalg dtype; "mixed" = f64-grade via
+                                    # f32 factor + f64 refinement (~7x faster
+                                    # on TPU); "float32" for raw speed
+    cv_dtype: str = "float64"       # CV fold dtype ("mixed": f64-grade at
+                                    # near-f32 cost; "float32": fastest)
     psd_fallback: bool = True       # compile the eigh-pinv fallback branch
     grad_method: str = "central"    # "central" (parity) | "streamed" (parity,
                                     # O(N^2) memory) | "autodiff" (exact)
@@ -206,6 +209,29 @@ def train(
             grad_method=cfg.grad_method,
         )
 
+    # gp_dtype="mixed" flags agents whose f32-factorized solve could not be
+    # refined to f64 accuracy (cond beyond ~1e7) as NaN instead of paying the
+    # direct branch inside vmap (where lax.cond lowers to select and BOTH
+    # branches would execute every iteration). The driver re-runs such an
+    # iteration through a float64 step, compiled on first use.
+    _step64 = []
+
+    def get_step64():
+        if not _step64:
+            kw = dict(rho=cfg.rho, L=cfg.L, noise_std=cfg.noise_std,
+                      shift_value=cfg.shift_value,
+                      parity_round=cfg.parity_round,
+                      compute_cond=cfg.compute_cond,
+                      gp_dtype="float64", psd_fallback=cfg.psd_fallback)
+            if mesh2d is not None:
+                from .parallel import make_admm_step_2d as _mk2d
+
+                _step64.append(_mk2d(spec, mesh2d, **kw))
+            else:
+                _step64.append(make_admm_step(
+                    spec, mesh, grad_method=cfg.grad_method, **kw))
+        return _step64[0]
+
     # --- state ------------------------------------------------------------
     if resume_from:
         ck = load_checkpoint(resume_from)
@@ -296,6 +322,14 @@ def train(
                 out = step(theta, psi, batch)
         else:
             out = step(theta, psi, batch)
+        if cfg.gp_dtype == "mixed" and not np.all(np.isfinite(np.asarray(out.nll))):
+            # The consensus z-update only reads LAST iteration's theta/psi,
+            # so out.z (and any fused CV scores on it) is valid even when an
+            # agent's mixed solve was flagged — only the agent-side outputs
+            # need the f64 re-run.
+            log("  mixed solver flagged an ill-conditioned agent system; "
+                "re-running this iteration's agent updates in float64")
+            out = get_step64()(theta, psi, batch)
         theta, psi = out.theta, out.psi
         z = np.asarray(out.z)
 

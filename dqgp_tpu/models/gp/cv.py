@@ -74,8 +74,15 @@ def cv_fold_scores_impl(
 ):
     """Per-fold (nlpd, r2, rmse) — traceable body; jit via ``_cv_fold_scores``
     or fuse into a larger program (the driver fuses it into the ADMM step so
-    each training iteration is ONE executable)."""
+    each training iteration is ONE executable).
+
+    cv_dtype "mixed" = f64 fold numerics through ``solve_psd_mixed`` (f32
+    factorization + f64 refinement): f64-grade NLPD at near-f32 fold cost on
+    emulated-f64 TPU backends."""
     F = kernel_features(spec, X, theta)  # once per consensus vector
+    solver = "direct"
+    if cv_dtype == "mixed":
+        cv_dtype, solver = "float64", "mixed-flag"
     if cv_dtype == "float64" and not jax.config.jax_enable_x64:
         cv_dtype = "float32"
     dtype = jnp.dtype(cv_dtype)
@@ -108,7 +115,8 @@ def cv_fold_scores_impl(
             K_vv_diag = outer_diag(spec.outer_kernel, F_va, spec.outer_params).astype(dtype)
 
         mean, var, _ = gp_posterior_from_grams(
-            K_tt, K_vt, K_vv_diag, y_tr, noise_std, jitter, train_mask=tr_mask.astype(dtype)
+            K_tt, K_vt, K_vv_diag, y_tr, noise_std, jitter,
+            train_mask=tr_mask.astype(dtype), solver=solver,
         )
         r = y_va - mean
         var_safe = jnp.maximum(var, 1e-10)

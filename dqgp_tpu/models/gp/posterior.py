@@ -26,6 +26,7 @@ import numpy as np
 from ...ops.linalg import (
     SolveResult,
     condition_number,
+    get_psd_solver,
     masked_identity_pad,
     solve_psd_with_fallback,
 )
@@ -55,13 +56,15 @@ def masked_nll_core(
     noise_std: float,
     compute_cond: bool = True,
     fallback: bool = True,
+    solver: str = "direct",
 ) -> Tuple[NLLResult, jax.Array]:
     """NLL (components, cond) plus the gradient bracket C^{-1} - alpha alpha^T.
 
     The bracket is what every gradient flavor contracts against shifted-Gram
     panels (grad_p = 0.5 * tr[bracket @ dK_p]); exposing it lets the streamed
     and mesh-sharded gradient paths reuse one solve. The returned result's
-    ``grad`` field is an empty placeholder.
+    ``grad`` field is an empty placeholder. ``solver="mixed"`` routes the f64
+    solve through ``solve_psd_mixed`` (f32 factor + f64 refinement).
     """
     dtype = K.dtype
     mask = mask.astype(dtype)
@@ -69,7 +72,7 @@ def masked_nll_core(
     Km = masked_identity_pad(K, mask)
     C = Km + (noise_std**2) * jnp.diag(mask)  # sigma^2 only on real rows
 
-    res = solve_psd_with_fallback(C, y, fallback=fallback)
+    res = get_psd_solver(solver)(C, y, fallback=fallback)
     alpha = res.C_inv_y
     bracket = res.C_inv - jnp.outer(alpha, alpha)
 
@@ -107,21 +110,27 @@ def masked_nll_and_grad(
     noise_std: float,
     compute_cond: bool = True,
     fallback: bool = True,
+    solver: str = "direct",
 ) -> NLLResult:
     """NLL, its three components, and d(NLL)/dtheta for one (padded) agent.
 
     K: (N, N) Gram; dK: (P, N, N); y: (N,); mask: (N,) with 1 = real row.
-    Reference: agent_riemannian.py:409-471.
+    Reference: agent_riemannian.py:409-471. With ``solver="mixed"`` the
+    trace contraction also runs in f32 (emulated-f64 elementwise reductions
+    cost ~18 ms for 4x80x260^2 on v5e vs ~0 in f32; the absolute error is
+    orders below the 4-dp gradient rounding).
     """
     dtype = K.dtype
     res, bracket = masked_nll_core(
-        K, y, mask, noise_std, compute_cond=compute_cond, fallback=fallback
+        K, y, mask, noise_std, compute_cond=compute_cond, fallback=fallback,
+        solver=solver,
     )
     # Gradient: 0.5 * sum((C^{-1} - alpha alpha^T) ∘ dK_p^T)
-    m2 = mask.astype(dtype)[:, None] * mask.astype(dtype)[None, :]
-    dKm = dK * m2[None, :, :]
-    grad = 0.5 * jnp.einsum("ij,pji->p", bracket, dKm.astype(dtype))
-    return res._replace(grad=grad)
+    cdt = jnp.float32 if (solver.startswith("mixed") and dtype == jnp.float64) else dtype
+    m2 = mask.astype(cdt)[:, None] * mask.astype(cdt)[None, :]
+    dKm = dK.astype(cdt) * m2[None, :, :]
+    grad = 0.5 * jnp.einsum("ij,pji->p", bracket.astype(cdt), dKm)
+    return res._replace(grad=grad.astype(dtype))
 
 
 def gp_posterior_from_grams(
@@ -132,6 +141,7 @@ def gp_posterior_from_grams(
     noise_std: float,
     jitter: float = 1e-6,
     train_mask: Optional[jax.Array] = None,
+    solver: str = "direct",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Posterior mean/var from precomputed Grams. Returns (mean, var, chol_ok).
 
@@ -150,15 +160,21 @@ def gp_posterior_from_grams(
 
     # C^{-1} is only materialized on the (rare) fallback path — the Cholesky
     # path uses L directly for mean and variance.
-    res = solve_psd_with_fallback(C, y, need_inverse=False)
+    res = get_psd_solver(solver)(C, y, need_inverse=False)
     mean = K_st @ res.C_inv_y
     # var = diag(K_**) - sum(v^2), v = L^{-1} K_st^T on the Cholesky path;
     # on the fallback path use the explicit inverse (main.py:1476-1482).
     from jax.scipy.linalg import solve_triangular
 
+    # With the mixed solver, run the variance triangular solve in f32 (L is
+    # an f32-accurate factor anyway; an emulated-f64 triangular solve would
+    # give the direct path's cost right back). Predictive variances are O(1)
+    # magnitudes clamped at 1e-10 — f32 roundoff is immaterial.
+    vdt = jnp.float32 if (solver.startswith("mixed") and dtype == jnp.float64) else dtype
+
     def chol_var(_):
-        v = solve_triangular(res.L, K_st.T, lower=True)
-        return K_ss_diag - jnp.sum(v * v, axis=0)
+        v = solve_triangular(res.L.astype(vdt), K_st.T.astype(vdt), lower=True)
+        return K_ss_diag - jnp.sum(v * v, axis=0).astype(dtype)
 
     def inv_var(_):
         return K_ss_diag - jnp.sum((K_st @ res.C_inv) * K_st, axis=1)

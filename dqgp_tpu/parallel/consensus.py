@@ -126,8 +126,17 @@ def _agent_local(
       * "autodiff" — exact dNLL/dtheta by differentiating through the
         statevector simulation and the Cholesky solve (better-than-reference
         mode: one forward+backward pass instead of 2P+1 Gram evaluations).
+
+    gp_dtype "mixed" = f64 quantities solved by ``solve_psd_mixed`` (f32
+    factorization + f64 refinement — ~7x faster parity-grade iterations on
+    TPU, where f64 is emulated). Applies to "central"/"streamed";
+    "autodiff" keeps the direct solver (differentiating through the
+    refinement loop is well-defined but needlessly deep).
     """
     z_manifold = M.wrap(z)
+    solver = "direct"
+    if gp_dtype == "mixed":
+        gp_dtype, solver = "float64", "mixed-flag"
     if gp_dtype == "float64" and not jax.config.jax_enable_x64:
         gp_dtype = "float32"
     dtype = jnp.dtype(gp_dtype)
@@ -156,9 +165,13 @@ def _agent_local(
         K = _gram(spec, X, z32)
         res, bracket = masked_nll_core(
             K.astype(dtype), Y.astype(dtype), mask.astype(dtype), noise_std,
-            compute_cond=compute_cond, fallback=psd_fallback,
+            compute_cond=compute_cond, fallback=psd_fallback, solver=solver,
         )
-        m2 = (mask[:, None] * mask[None, :]).astype(dtype)
+        # mixed: contract in f32 (emulated-f64 elementwise reductions are
+        # the cost; the error is orders below the 4-dp gradient rounding)
+        cdt = jnp.float32 if (solver.startswith("mixed") and dtype == jnp.float64) else dtype
+        bracket_c = bracket.astype(cdt)
+        m2 = (mask[:, None] * mask[None, :]).astype(cdt)
         n_params = z32.shape[0]
 
         def shift_body(carry, p):
@@ -168,17 +181,18 @@ def _agent_local(
             K_plus = _gram(spec, X, t_plus)
             K_minus = _gram(spec, X, t_minus)
             # difference in f32 then upcast — bit-identical to "central"
-            dk = ((K_plus - K_minus) / (2.0 * shift_value)).astype(dtype) * m2
-            g = 0.5 * jnp.sum(bracket * dk.T)
-            return carry, g
+            dk = ((K_plus - K_minus) / (2.0 * shift_value)).astype(cdt) * m2
+            g = 0.5 * jnp.sum(bracket_c * dk.T)
+            return carry, g.astype(dtype)
 
         _, grads = jax.lax.scan(shift_body, None, jnp.arange(n_params))
         res = res._replace(grad=grads)
     else:
         K, dK = gram_and_shift_grads(spec, X, z_manifold.astype(jnp.float32), shift_value)
         res = masked_nll_and_grad(
-            K.astype(dtype), dK.astype(dtype), Y.astype(dtype), mask.astype(dtype),
+            K.astype(dtype), dK, Y.astype(dtype), mask.astype(dtype),
             noise_std, compute_cond=compute_cond, fallback=psd_fallback,
+            solver=solver,
         )
     grad = M.round4(res.grad) if parity_round else res.grad
     theta_i = M.admm_update_theta(z_manifold, grad, psi_i, rho, L)

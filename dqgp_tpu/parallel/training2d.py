@@ -78,6 +78,9 @@ def _agent_local_2d(
     gp_dtype: str,
     psd_fallback: bool,
 ):
+    solver = "direct"
+    if gp_dtype == "mixed":
+        gp_dtype, solver = "float64", "mixed-flag"
     if gp_dtype == "float64" and not jax.config.jax_enable_x64:
         gp_dtype = "float32"
     dtype = jnp.dtype(gp_dtype)
@@ -96,11 +99,14 @@ def _agent_local_2d(
     K = gram_from_features(spec, F_full)
     res, bracket = masked_nll_core(
         K.astype(dtype), y_full.astype(dtype), m_full.astype(dtype), noise_std,
-        compute_cond=compute_cond, fallback=psd_fallback,
+        compute_cond=compute_cond, fallback=psd_fallback, solver=solver,
     )
+    # mixed: contract panels in f32 (see consensus._agent_local)
+    cdt = jnp.float32 if (solver.startswith("mixed") and dtype == jnp.float64) else dtype
     # This device's row block of the (symmetric) bracket and of the mask.
-    B_loc = jax.lax.dynamic_slice_in_dim(bracket, col * n_loc, n_loc, axis=0)
-    m2_loc = (m_loc[:, None] * m_full[None, :]).astype(dtype)
+    B_loc = jax.lax.dynamic_slice_in_dim(bracket, col * n_loc, n_loc,
+                                         axis=0).astype(cdt)
+    m2_loc = (m_loc[:, None] * m_full[None, :]).astype(cdt)
 
     n_params = z32.shape[0]
 
@@ -115,9 +121,9 @@ def _agent_local_2d(
         # (N_loc, N) panels of the shifted Grams — rows local, columns all.
         Kp_panel = gram_from_features(spec, Fp_loc, Fp_full)
         Km_panel = gram_from_features(spec, Fm_loc, Fm_full)
-        dk = ((Kp_panel - Km_panel) / (2.0 * shift_value)).astype(dtype) * m2_loc
+        dk = ((Kp_panel - Km_panel) / (2.0 * shift_value)).astype(cdt) * m2_loc
         # tr[B dK] = sum_{r local} <B[r, :], dK[r, :]> (B symmetric), psummed.
-        g = 0.5 * jax.lax.psum(jnp.sum(B_loc * dk), "data")
+        g = 0.5 * jax.lax.psum(jnp.sum(B_loc * dk), "data").astype(dtype)
         return carry, g
 
     _, grad = jax.lax.scan(shift_body, None, jnp.arange(n_params))

@@ -1,0 +1,211 @@
+"""Mixed-precision PSD solver (f32 factorization + f64 refinement).
+
+The parity question: does gp_dtype="mixed" reproduce the float64 path's
+results to (beyond) the reference's 4-decimal rounding? On CPU, float64 is
+real LAPACK f64, so these tests pin mixed against the genuine article.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dqgp_tpu.ops.linalg import solve_psd_mixed, solve_psd_with_fallback
+
+
+def _spd(n, cond, seed=0):
+    """Symmetric PD matrix with the requested condition number."""
+    rng = np.random.RandomState(seed)
+    Q, _ = np.linalg.qr(rng.randn(n, n))
+    w = np.geomspace(1.0, 1.0 / cond, n)
+    return jnp.asarray(Q @ np.diag(w) @ Q.T, jnp.float64)
+
+
+def test_mixed_matches_direct_well_conditioned():
+    n = 64
+    C = _spd(n, cond=1e4)
+    y = jnp.asarray(np.random.RandomState(1).randn(n))
+    direct = jax.jit(lambda c, b: solve_psd_with_fallback(c, b))(C, y)
+    mixed = jax.jit(lambda c, b: solve_psd_mixed(c, b))(C, y)
+    assert bool(mixed.chol_ok)
+    np.testing.assert_allclose(np.asarray(mixed.C_inv_y),
+                               np.asarray(direct.C_inv_y), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(mixed.C_inv),
+                               np.asarray(direct.C_inv), rtol=1e-7, atol=1e-7)
+    # logdet comes from the f32 factor: ~N*eps_f32 relative
+    np.testing.assert_allclose(float(mixed.logdet), float(direct.logdet),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_mixed_falls_back_on_ill_conditioned():
+    """cond ~1e10 defeats the f32 factorization's refinement — the residual
+    gate must route to the direct f64 branch, matching it exactly."""
+    n = 48
+    C = _spd(n, cond=1e10, seed=2)
+    y = jnp.asarray(np.random.RandomState(3).randn(n))
+    direct = jax.jit(lambda c, b: solve_psd_with_fallback(c, b))(C, y)
+    mixed = jax.jit(lambda c, b: solve_psd_mixed(c, b))(C, y)
+    np.testing.assert_allclose(np.asarray(mixed.C_inv_y),
+                               np.asarray(direct.C_inv_y), rtol=1e-12)
+    np.testing.assert_allclose(float(mixed.logdet), float(direct.logdet),
+                               rtol=1e-12)
+
+
+def test_mixed_indefinite_reaches_pinv_rescue():
+    n = 16
+    rng = np.random.RandomState(4)
+    A = rng.randn(n, n)
+    C = jnp.asarray((A + A.T) / 2, jnp.float64)  # indefinite
+    y = jnp.asarray(rng.randn(n))
+    direct = jax.jit(lambda c, b: solve_psd_with_fallback(c, b, fallback=True))(C, y)
+    mixed = jax.jit(lambda c, b: solve_psd_mixed(c, b, fallback=True))(C, y)
+    assert not bool(direct.chol_ok) and not bool(mixed.chol_ok)
+    np.testing.assert_allclose(np.asarray(mixed.C_inv_y),
+                               np.asarray(direct.C_inv_y), rtol=1e-10)
+
+
+def test_mixed_f32_input_passthrough():
+    n = 8
+    C = _spd(n, cond=10.0).astype(jnp.float32)
+    y = jnp.asarray(np.random.RandomState(5).randn(n), jnp.float32)
+    a = jax.jit(lambda c, b: solve_psd_mixed(c, b))(C, y)
+    b = jax.jit(lambda c, b: solve_psd_with_fallback(c, b))(C, y)
+    np.testing.assert_array_equal(np.asarray(a.C_inv_y), np.asarray(b.C_inv_y))
+
+
+def _mini_problem():
+    from dqgp_tpu.data import generate_quantum_gp_data, split_data_numpy
+    from dqgp_tpu.models.circuits import build_circuit
+    from dqgp_tpu.models.kernels import QuantumKernelSpec
+
+    spec = QuantumKernelSpec(
+        circuit=build_circuit("hubregtsen", 3, 2, 1),
+        kernel_type="projected", outer_kernel="matern",
+    )
+    X, Y, _ = generate_quantum_gp_data(96, 2, spec, data_seed=11, param_seed=42)
+    splits = split_data_numpy(X, Y, 4, "sequential")
+    return spec, X, Y, splits
+
+
+def test_admm_trajectory_mixed_equals_float64():
+    """3 full ADMM iterations: the 4-dp-rounded (z, theta, psi) trajectory in
+    gp_dtype='mixed' must be bit-identical to gp_dtype='float64' (the
+    reference-parity mode)."""
+    from dqgp_tpu.driver import init_admm_state
+    from dqgp_tpu.parallel import make_admm_step, make_agent_batch
+
+    spec, X, Y, splits = _mini_problem()
+    batch = make_agent_batch(splits)
+    theta0, psi0, _ = init_admm_state(4, spec.num_parameters, 42, 100.0)
+
+    def run(gp_dtype):
+        step = make_admm_step(spec, None, rho=100.0, L=100.0, noise_std=0.1,
+                              compute_cond=False, psd_fallback=True,
+                              gp_dtype=gp_dtype)
+        theta, psi = jnp.asarray(theta0), jnp.asarray(psi0)
+        zs = []
+        for _ in range(3):
+            out = step(theta, psi, batch)
+            theta, psi = out.theta, out.psi
+            zs.append(np.asarray(out.z))
+        return np.stack(zs), np.asarray(theta), np.asarray(psi)
+
+    z64, th64, ps64 = run("float64")
+    zmx, thmx, psmx = run("mixed")
+    np.testing.assert_array_equal(zmx, z64)
+    np.testing.assert_array_equal(thmx, th64)
+    np.testing.assert_array_equal(psmx, ps64)
+
+
+def test_streamed_mixed_matches_central_float64():
+    from dqgp_tpu.driver import init_admm_state
+    from dqgp_tpu.parallel import make_admm_step, make_agent_batch
+
+    spec, X, Y, splits = _mini_problem()
+    batch = make_agent_batch(splits)
+    theta0, psi0, _ = init_admm_state(4, spec.num_parameters, 42, 100.0)
+    outs = {}
+    for label, kw in (("central64", dict(grad_method="central", gp_dtype="float64")),
+                      ("streamedmx", dict(grad_method="streamed", gp_dtype="mixed"))):
+        step = make_admm_step(spec, None, rho=100.0, L=100.0, noise_std=0.1,
+                              compute_cond=False, psd_fallback=False, **kw)
+        outs[label] = step(jnp.asarray(theta0), jnp.asarray(psi0), batch)
+    np.testing.assert_array_equal(np.asarray(outs["streamedmx"].theta),
+                                  np.asarray(outs["central64"].theta))
+
+
+def test_cv_mixed_matches_float64():
+    from dqgp_tpu.models.gp.cv import k_fold_cross_validation_consensus
+
+    spec, X, Y, _ = _mini_problem()
+    theta = jnp.asarray(np.random.RandomState(7).uniform(0, np.pi,
+                                                         spec.num_parameters))
+    a = k_fold_cross_validation_consensus(spec, X, Y, theta, 0.1, k_folds=3,
+                                          random_seed=42, cv_dtype="float64")
+    b = k_fold_cross_validation_consensus(spec, X, Y, theta, 0.1, k_folds=3,
+                                          random_seed=42, cv_dtype="mixed")
+    # mixed runs the predictive-variance triangular solve in f32 -> ~1e-6
+    # NLPD noise, far below anything selection-relevant (z rounds to 4dp)
+    assert abs(a["mean_nlpd"] - b["mean_nlpd"]) < 1e-4
+    assert abs(a["mean_r2"] - b["mean_r2"]) < 1e-4
+
+
+def test_2d_mesh_mixed_matches_float64():
+    """Mixed solver through the agents x data 2-D mesh path."""
+    n_dev = len(jax.devices())
+    if n_dev < 4:
+        pytest.skip("needs 4 virtual devices")
+    from dqgp_tpu.driver import init_admm_state
+    from dqgp_tpu.parallel import (
+        agents_data_mesh, make_admm_step_2d, make_agent_batch,
+        shard_batch_to_mesh_2d,
+    )
+
+    spec, X, Y, splits = _mini_problem()
+    splits2 = splits[:2]
+    mesh = agents_data_mesh(2, 2)
+    batch = make_agent_batch(splits2)
+    theta0, psi0, _ = init_admm_state(2, spec.num_parameters, 42, 100.0)
+
+    def run(gp_dtype):
+        b, th, ps = shard_batch_to_mesh_2d(batch, theta0, psi0, mesh)
+        step = make_admm_step_2d(spec, mesh, rho=100.0, L=100.0, noise_std=0.1,
+                                 compute_cond=False, gp_dtype=gp_dtype)
+        out = step(th, ps, b)
+        return np.asarray(out.theta)
+
+    np.testing.assert_array_equal(run("mixed"), run("float64"))
+
+
+def test_mixed_flag_mode_nans_instead_of_rescue():
+    C = _spd(48, cond=1e10, seed=2)
+    y = jnp.asarray(np.random.RandomState(3).randn(48))
+    res = jax.jit(lambda c, b: solve_psd_mixed(c, b, on_fail="flag"))(C, y)
+    assert not bool(res.chol_ok)
+    assert not np.any(np.isfinite(np.asarray(res.C_inv_y)))
+
+
+def test_driver_retries_flagged_mixed_iteration():
+    """An (effectively) singular agent system defeats the f32 refinement;
+    the driver must transparently redo the iteration in float64 and produce
+    the float64 run's exact trajectory."""
+    from dqgp_tpu.driver import train, TrainConfig
+
+    spec, X, Y, splits = _mini_problem()
+    # duplicate every row within each agent shard -> rank-deficient Grams;
+    # tiny noise keeps C from being regularized back to f32 reach
+    splits_dup = [(np.concatenate([Xi, Xi]), np.concatenate([Yi, Yi]))
+                  for Xi, Yi in splits]
+    X_dup = np.concatenate([s[0] for s in splits_dup])
+    Y_dup = np.concatenate([s[1] for s in splits_dup])
+    base = dict(rho=100.0, L=100.0, max_iter=2, cv_folds=0, seed=42,
+                noise_std=1e-6, verbose=False, run_cv=False,
+                compute_cond=False)
+    r_mixed = train(spec, splits_dup, X_dup, Y_dup,
+                    TrainConfig(gp_dtype="mixed", **base))
+    r_f64 = train(spec, splits_dup, X_dup, Y_dup,
+                  TrainConfig(gp_dtype="float64", **base))
+    assert np.all(np.isfinite(r_mixed.z))
+    np.testing.assert_array_equal(r_mixed.z, r_f64.z)
+    np.testing.assert_array_equal(np.asarray(r_mixed.theta),
+                                  np.asarray(r_f64.theta))
