@@ -135,17 +135,21 @@ def build_parser() -> argparse.ArgumentParser:
                         help=">1: train on an agents x data 2-D mesh — each "
                              "agent's Gram panels row-shard over this many "
                              "devices (scale-out; implies streamed gradients)")
-    parser.add_argument("--cv-dtype", choices=["float64", "mixed", "float32"],
-                        default="float64",
-                        help="dtype for the per-iteration CV folds (mixed = f64 "
+    parser.add_argument("--cv-dtype",
+                        choices=["auto", "float64", "mixed", "float32"],
+                        default="auto",
+                        help="dtype for the per-iteration CV folds (auto = "
+                             "float64 on CPU/GPU, mixed on TPU; mixed = f64 "
                              "numerics through an f32 factorization + f64 "
                              "refinement, near-f32 cost; float32 is fastest; "
                              "selection only needs NLPD ordering)")
-    parser.add_argument("--gp-dtype", choices=["float64", "mixed", "float32"],
-                        default="float64",
+    parser.add_argument("--gp-dtype",
+                        choices=["auto", "float64", "mixed", "float32"],
+                        default="auto",
                         help="dtype for the per-agent NLL/gradient linalg "
-                             "(mixed = f64-grade accuracy via f32 factorization "
-                             "+ f64 iterative refinement, ~7x faster ADMM "
+                             "(auto = float64 on CPU/GPU, mixed on TPU; mixed "
+                             "= f64-grade accuracy via f32 factorization + "
+                             "f64 iterative refinement, ~29x faster ADMM "
                              "iterations on TPU where f64 is emulated)")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="capture a jax.profiler trace of the training loop "

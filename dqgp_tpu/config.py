@@ -1,9 +1,10 @@
 """Runtime configuration knobs.
 
 ``use_pallas``: "auto" (default) enables the fused Pallas circuit kernel on
-TPU backends for circuits where it wins (measured: ~1x at 4 qubits, 2.5x at
-8, ~9x at 12 over the XLA gate-by-gate path); "on"/"off" force it. Settable
-via env ``DQGP_USE_PALLAS`` or ``dqgp_tpu.config.use_pallas = ...``.
+TPU backends (measured with honest two-point timings: 8.3x at 4 qubits,
+3.6x at 8, 9.4x at 12 over the XLA gate-by-gate path for Pauli features);
+"on"/"off" force it. Settable via env ``DQGP_USE_PALLAS`` or
+``dqgp_tpu.config.use_pallas = ...``.
 """
 
 from __future__ import annotations
@@ -12,11 +13,13 @@ import os
 
 use_pallas: str = os.environ.get("DQGP_USE_PALLAS", "auto")
 
-# Pallas pays off once the state no longer fits XLA's loop fusions (measured
-# on v5e: XLA matches pallas through 8 qubits, pallas wins ~9x at 12); below
-# this qubit count the XLA path is equally fast, compiles quicker, and vmaps
-# freely over agents.
-PALLAS_MIN_QUBITS: int = int(os.environ.get("DQGP_PALLAS_MIN_QUBITS", "10"))
+# The fused kernel wins at every circuit size once timings are honest
+# (two-point chained-program method, v5e: 8.3x at 4 qubits, 3.6x at 8,
+# 9.4x at 12 for Pauli features; 2.6x on the whole f32 ADMM step at the
+# 4-qubit north-star config). The old >=10 threshold came from pre-rewrite
+# timings whose device sync did not actually block. Floor of 2 qubits =
+# the smallest size the equality sweep covers on hardware.
+PALLAS_MIN_QUBITS: int = int(os.environ.get("DQGP_PALLAS_MIN_QUBITS", "2"))
 
 
 def pallas_enabled(num_qubits: int) -> bool:
@@ -31,6 +34,25 @@ def pallas_enabled(num_qubits: int) -> bool:
     # the kernel is written in pallas.tpu — only TPU-class backends qualify
     return (backend not in ("cpu", "gpu", "cuda", "rocm")
             and num_qubits >= PALLAS_MIN_QUBITS)
+
+
+def resolve_dtype_mode(mode: str) -> str:
+    """Resolve a GP/CV linalg dtype mode ("auto" | "float64" | "mixed" |
+    "float32") to a concrete one.
+
+    "auto" picks "float64" where f64 is native LAPACK-grade (CPU/GPU) and
+    "mixed" on TPU-class backends, where f64 is software-emulated and the
+    mixed solver (``ops/linalg.solve_psd_mixed``: f32 factorization + f64
+    refinement, with an automatic f64 re-run on refinement failure) gives
+    f64-grade results at near-f32 cost — measured 29x faster ADMM
+    iterations with bit-identical 4-dp trajectories.
+    """
+    if mode != "auto":
+        return mode
+    import jax
+
+    return ("float64" if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm")
+            else "mixed")
 
 
 def supports_complex128() -> bool:

@@ -48,11 +48,11 @@ class TrainConfig:
     seed: int = 42
     parity_round: bool = True       # 4-decimal quantization (reference quirk)
     compute_cond: bool = True       # per-iteration condition numbers (eigvalsh)
-    gp_dtype: str = "float64"       # GP linalg dtype; "mixed" = f64-grade via
-                                    # f32 factor + f64 refinement (~7x faster
-                                    # on TPU); "float32" for raw speed
-    cv_dtype: str = "float64"       # CV fold dtype ("mixed": f64-grade at
-                                    # near-f32 cost; "float32": fastest)
+    gp_dtype: str = "auto"          # GP linalg dtype: "auto" = float64 on
+                                    # CPU/GPU, "mixed" on TPU (f64-grade via
+                                    # f32 factor + f64 refinement, ~29x
+                                    # faster); "float32" for raw speed
+    cv_dtype: str = "auto"          # CV fold dtype, same modes as gp_dtype
     psd_fallback: bool = True       # compile the eigh-pinv fallback branch
     grad_method: str = "central"    # "central" (parity) | "streamed" (parity,
                                     # O(N^2) memory) | "autodiff" (exact)
@@ -148,6 +148,14 @@ def train(
     n_agents = len(agent_data_splits)
     P = spec.num_parameters
     log = print if cfg.verbose else (lambda *a, **k: None)
+
+    from .config import resolve_dtype_mode
+
+    cfg = dataclasses.replace(
+        cfg,
+        gp_dtype=resolve_dtype_mode(cfg.gp_dtype),
+        cv_dtype=resolve_dtype_mode(cfg.cv_dtype),
+    )
 
     # --- mesh + data residency -------------------------------------------
     devs = jax.devices()
