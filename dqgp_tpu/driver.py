@@ -217,6 +217,31 @@ def train(
             grad_method=cfg.grad_method,
         )
 
+    # --- single-fetch host view --------------------------------------------
+    # On remote-relay accelerator runtimes every host fetch pays a full
+    # round trip (~27 ms measured); fetching z / per-agent scalars /
+    # consensus norms separately made host round-trips, not device compute,
+    # dominate the iteration wall. Everything the host loop reads per
+    # iteration is packed into ONE float64 vector on device:
+    #   [z (P) | ||z-theta_i|| (A) | nll (A) | cond (A) | logdet (A) |
+    #    quad (A) | const (A) | cv nlpd/r2/rmse (3k, fused-CV only)]
+    def _pack(out, scores=None):
+        f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        norms = jnp.linalg.norm(
+            out.z[None, :].astype(f64) - out.theta.astype(f64), axis=1
+        )  # Euclidean consensus norms (reference quirk), now device-side
+        parts = [out.z, norms, out.nll, out.condition_number,
+                 out.log_det_term, out.quadratic_term, out.constant_term]
+        if scores is not None:
+            parts.extend(scores)
+        return jnp.concatenate([jnp.ravel(p).astype(f64) for p in parts])
+
+    def _unpack(h):
+        z = h[:P]
+        sec = h[P:P + 6 * n_agents].reshape(6, n_agents)
+        scores = h[P + 6 * n_agents:]
+        return z, sec, (scores.reshape(3, -1) if scores.size else None)
+
     # gp_dtype="mixed" flags agents whose f32-factorized solve could not be
     # refined to f64 accuracy (cond beyond ~1e7) as NaN instead of paying the
     # direct branch inside vmap (where lax.cond lowers to select and BOTH
@@ -234,10 +259,17 @@ def train(
             if mesh2d is not None:
                 from .parallel import make_admm_step_2d as _mk2d
 
-                _step64.append(_mk2d(spec, mesh2d, **kw))
+                base64 = _mk2d(spec, mesh2d, **kw)
             else:
-                _step64.append(make_admm_step(
-                    spec, mesh, grad_method=cfg.grad_method, **kw))
+                base64 = make_admm_step(
+                    spec, mesh, grad_method=cfg.grad_method, **kw)
+
+            @jax.jit
+            def step64_packed(theta, psi, batch):
+                out = base64(theta, psi, batch)
+                return out, _pack(out)
+
+            _step64.append(step64_packed)
         return _step64[0]
 
     # --- state ------------------------------------------------------------
@@ -299,7 +331,12 @@ def train(
                 spec, X_tr, Y_tr, out.z, tr_i, tr_m, va_i, va_m,
                 noise_std=float(cfg.noise_std), cv_dtype=cfg.cv_dtype,
             )
-            return out, scores
+            return out, _pack(out, scores)
+
+    @jax.jit
+    def step_packed(theta, psi, batch):
+        out = step(theta, psi, batch)
+        return out, _pack(out)
 
     nll_history: List[Dict] = []
     cv_history: List[Dict] = []
@@ -314,38 +351,36 @@ def train(
         it_start = time.time()
         z_old = np.asarray(z)
 
-        fold_scores = None
         if step_with_cv is not None:
             try:
                 idx = kfold_pad_indices(len(X_cv), cfg.cv_folds,
                                         cfg.seed + it)  # seed+iter (main.py:2665)
-                out, fold_scores = step_with_cv(theta, psi, batch,
-                                                Xtr_j, Ytr_j, *idx)
+                out, packed = step_with_cv(theta, psi, batch,
+                                           Xtr_j, Ytr_j, *idx)
             except Exception as e:
                 # disable fusion permanently — re-attempting would re-trace
                 # (and re-fail) a minutes-long compile every iteration
                 log(f"  fused step+CV failed ({e}); disabling fusion, "
                     f"separate CV from here on")
                 step_with_cv = None
-                out = step(theta, psi, batch)
+                out, packed = step_packed(theta, psi, batch)
         else:
-            out = step(theta, psi, batch)
-        if cfg.gp_dtype == "mixed" and not np.all(np.isfinite(np.asarray(out.nll))):
+            out, packed = step_packed(theta, psi, batch)
+        # ONE host fetch per training iteration (see _pack above)
+        host = np.asarray(packed)
+        z, sec, fold_scores = _unpack(host)
+        if cfg.gp_dtype == "mixed" and not np.all(np.isfinite(sec[1])):
             # The consensus z-update only reads LAST iteration's theta/psi,
-            # so out.z (and any fused CV scores on it) is valid even when an
+            # so z (and any fused CV scores on it) is valid even when an
             # agent's mixed solve was flagged — only the agent-side outputs
             # need the f64 re-run.
             log("  mixed solver flagged an ill-conditioned agent system; "
                 "re-running this iteration's agent updates in float64")
-            out = get_step64()(theta, psi, batch)
+            out, packed64 = get_step64()(theta, psi, batch)
+            z, sec, _ = _unpack(np.asarray(packed64))  # keeps fused CV scores
         theta, psi = out.theta, out.psi
-        z = np.asarray(out.z)
 
-        nll = np.asarray(out.nll)
-        conds = np.asarray(out.condition_number)
-        lds = np.asarray(out.log_det_term)
-        quads = np.asarray(out.quadratic_term)
-        consts = np.asarray(out.constant_term)
+        theta_z_norms, nll, conds, lds, quads, consts = sec
         valid = nll[np.isfinite(nll)]
         nll_history.append({
             "iteration": it,
@@ -408,8 +443,8 @@ def train(
                 })
 
         # --- convergence metrics (main.py:2718-2726) ----------------------
-        theta_h = np.asarray(theta)
-        theta_z_norms = np.linalg.norm(z - theta_h, axis=1)  # Euclidean (quirk)
+        # theta_z_norms (Euclidean — reference quirk) came packed from the
+        # device; theta itself stays device-resident between iterations.
         max_norm = float(theta_z_norms.max())
         z_change = float(np.linalg.norm(z - z_old))
 
@@ -443,7 +478,8 @@ def train(
         if cfg.checkpoint_dir and it % cfg.checkpoint_every == 0:
             save_checkpoint(
                 os.path.join(cfg.checkpoint_dir, f"ckpt_{it:05d}.npz"),
-                it, theta_h, np.asarray(psi), z, cv_best, z_best_cv, patience_counter,
+                it, np.asarray(theta), np.asarray(psi), z, cv_best, z_best_cv,
+                patience_counter,
             )
 
         # --- stopping (main.py:2767-2784) ---------------------------------
