@@ -357,6 +357,11 @@ def train(
                                         cfg.seed + it)  # seed+iter (main.py:2665)
                 out, packed = step_with_cv(theta, psi, batch,
                                            Xtr_j, Ytr_j, *idx)
+                # ONE host fetch per training iteration (see _pack above);
+                # inside the try because async runtime failures (e.g. OOM
+                # executing the compiled fused program) surface at the
+                # blocking fetch, not at dispatch
+                host = np.asarray(packed)
             except Exception as e:
                 # disable fusion permanently — re-attempting would re-trace
                 # (and re-fail) a minutes-long compile every iteration
@@ -364,10 +369,10 @@ def train(
                     f"separate CV from here on")
                 step_with_cv = None
                 out, packed = step_packed(theta, psi, batch)
+                host = np.asarray(packed)
         else:
             out, packed = step_packed(theta, psi, batch)
-        # ONE host fetch per training iteration (see _pack above)
-        host = np.asarray(packed)
+            host = np.asarray(packed)
         z, sec, fold_scores = _unpack(host)
         if cfg.gp_dtype == "mixed" and not np.all(np.isfinite(sec[1])):
             # The consensus z-update only reads LAST iteration's theta/psi,
@@ -404,6 +409,15 @@ def train(
         # --- per-iteration CV model selection (main.py:2645-2716) ---------
         if cfg.run_cv:
             try:
+                if (fold_scores is not None and cfg.cv_dtype == "mixed"
+                        and not np.all(np.isfinite(fold_scores[0]))):
+                    # the f32-factorized fold solve could not be refined to
+                    # f64 accuracy (cond beyond ~1e7); the reference's f64
+                    # CV would have succeeded — re-score in float64 rather
+                    # than letting the inf penalty skew model selection
+                    log("  mixed CV solver flagged fold(s); re-scoring this "
+                        "iteration's CV in float64")
+                    fold_scores = None
                 if fold_scores is not None:
                     cv = aggregate_cv_scores(*fold_scores, cfg.cv_folds)
                 else:
@@ -467,8 +481,12 @@ def train(
             # (main.py:2557-2643 reporting)
             for i in range(n_agents):
                 c = conds[i]
-                if not np.isfinite(c):
-                    status = "n/a"  # compute_cond disabled
+                if not cfg.compute_cond:
+                    status = "n/a"  # cond estimation disabled
+                elif not np.isfinite(c):
+                    # the iterative estimator returns inf for singular /
+                    # indefinite systems — the loudest "Poor" there is
+                    status = "Poor"
                 else:
                     status = "Good" if c < 1e12 else ("Moderate" if c < 1e15 else "Poor")
                 log(f"    Agent {i+1}: NLL={nll[i]:.6f} "

@@ -192,17 +192,24 @@ def k_fold_cross_validation_consensus(
 ) -> Dict:
     """Aggregate CV results with the reference's failure semantics
     (main.py:1564-1596): failed folds (non-finite) score +inf, and the run is
-    valid only if at least k//2 folds succeed."""
+    valid only if at least k//2 folds succeed.
+
+    With cv_dtype="mixed", a fold can go non-finite merely because its f32
+    factorization could not be refined to f64 accuracy (cond beyond ~1e7 —
+    well inside the reach of the reference's f64 LAPACK). Such folds are
+    re-scored through the float64 path so the +inf penalty is reserved for
+    folds the reference itself would fail on."""
     n = int(np.asarray(X_train).shape[0])
     tr_i, tr_m, va_i, va_m = kfold_pad_indices(n, k_folds, random_seed)
-    nlpds, r2s, rmses = _cv_fold_scores(
+    args = (
         spec,
         jnp.asarray(X_train),
         jnp.asarray(Y_train),
         jnp.asarray(consensus_params),
         tr_i, tr_m, va_i, va_m,
-        noise_std=float(noise_std),
-        jitter=float(jitter),
-        cv_dtype=cv_dtype,
     )
+    kw = dict(noise_std=float(noise_std), jitter=float(jitter))
+    nlpds, r2s, rmses = _cv_fold_scores(*args, cv_dtype=cv_dtype, **kw)
+    if cv_dtype == "mixed" and not np.all(np.isfinite(np.asarray(nlpds))):
+        nlpds, r2s, rmses = _cv_fold_scores(*args, cv_dtype="float64", **kw)
     return aggregate_cv_scores(nlpds, r2s, rmses, k_folds)

@@ -26,6 +26,7 @@ import numpy as np
 from ...ops.linalg import (
     SolveResult,
     condition_number,
+    contraction_dtype,
     get_psd_solver,
     masked_identity_pad,
     solve_psd_with_fallback,
@@ -126,7 +127,7 @@ def masked_nll_and_grad(
         solver=solver,
     )
     # Gradient: 0.5 * sum((C^{-1} - alpha alpha^T) ∘ dK_p^T)
-    cdt = jnp.float32 if (solver.startswith("mixed") and dtype == jnp.float64) else dtype
+    cdt = contraction_dtype(solver, dtype)
     m2 = mask.astype(cdt)[:, None] * mask.astype(cdt)[None, :]
     dKm = dK.astype(cdt) * m2[None, :, :]
     grad = 0.5 * jnp.einsum("ij,pji->p", bracket.astype(cdt), dKm)
@@ -170,7 +171,7 @@ def gp_posterior_from_grams(
     # an f32-accurate factor anyway; an emulated-f64 triangular solve would
     # give the direct path's cost right back). Predictive variances are O(1)
     # magnitudes clamped at 1e-10 — f32 roundoff is immaterial.
-    vdt = jnp.float32 if (solver.startswith("mixed") and dtype == jnp.float64) else dtype
+    vdt = contraction_dtype(solver, dtype)
 
     def chol_var(_):
         v = solve_triangular(res.L.astype(vdt), K_st.T.astype(vdt), lower=True)

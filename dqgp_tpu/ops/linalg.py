@@ -180,6 +180,18 @@ def solve_psd_mixed(C: jax.Array, y: jax.Array, fallback: bool = True,
     return lax.cond(ok, lambda _: mixed, direct, None)
 
 
+def contraction_dtype(solver: str, dtype) -> "jnp.dtype":
+    """dtype for the big elementwise contractions around a mixed solve.
+
+    With the mixed solver, f64 trace contractions / triangular variance
+    solves would pay the emulated-f64 cost the solver exists to avoid
+    (measured ~18 ms for 4x80x260^2 elementwise reductions on v5e vs ~0 in
+    f32); their f32 roundoff is orders below the reference's 4-dp gradient
+    rounding. One definition so every call site applies the same policy.
+    """
+    return jnp.float32 if (solver.startswith("mixed") and dtype == jnp.float64) else dtype
+
+
 def get_psd_solver(solver: str):
     """'direct' -> solve_psd_with_fallback; 'mixed' -> solve_psd_mixed with
     the lax.cond f64 rescue (un-vmapped callers only); 'mixed-flag' ->

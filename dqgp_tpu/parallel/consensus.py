@@ -32,6 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import manifold as M
 from ..models.gp.posterior import masked_nll_and_grad
 from ..models.kernels.quantum_kernel import QuantumKernelSpec, gram_and_shift_grads
+from ..ops.linalg import contraction_dtype
 
 
 class AgentBatch(NamedTuple):
@@ -169,7 +170,7 @@ def _agent_local(
         )
         # mixed: contract in f32 (emulated-f64 elementwise reductions are
         # the cost; the error is orders below the 4-dp gradient rounding)
-        cdt = jnp.float32 if (solver.startswith("mixed") and dtype == jnp.float64) else dtype
+        cdt = contraction_dtype(solver, dtype)
         bracket_c = bracket.astype(cdt)
         m2 = (mask[:, None] * mask[None, :]).astype(cdt)
         n_params = z32.shape[0]

@@ -40,6 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import manifold as M
 from ..models.gp.posterior import masked_nll_core
+from ..ops.linalg import contraction_dtype
 from ..models.kernels.quantum_kernel import (
     QuantumKernelSpec,
     gram_from_features,
@@ -102,7 +103,7 @@ def _agent_local_2d(
         compute_cond=compute_cond, fallback=psd_fallback, solver=solver,
     )
     # mixed: contract panels in f32 (see consensus._agent_local)
-    cdt = jnp.float32 if (solver.startswith("mixed") and dtype == jnp.float64) else dtype
+    cdt = contraction_dtype(solver, dtype)
     # This device's row block of the (symmetric) bracket and of the mask.
     B_loc = jax.lax.dynamic_slice_in_dim(bracket, col * n_loc, n_loc,
                                          axis=0).astype(cdt)

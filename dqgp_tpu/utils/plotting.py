@@ -124,17 +124,26 @@ def _coverage_map(splits, x1b, x2b, n_grid=25, threshold=0.15):
     return cov.reshape(n_grid, n_grid)
 
 
-def _overlap_matrix(splits, chunk: int = 2048):
+def _overlap_matrix(splits, chunk: int = 2048, max_rows: int = 1500):
     """Min inter-agent point distances (main.py:846-863, vectorized).
 
     Chunked over the first agent's rows so the transient difference tensor
-    stays bounded at scale-out shard sizes, and symmetric (min distance is
-    direction-free), so each pair is computed once."""
+    stays bounded, and symmetric (min distance is direction-free), so each
+    pair is computed once. Shards beyond ``max_rows`` are deterministically
+    subsampled — the panel is a partition-quality visual, and the exact
+    pairwise sweep is O(A^2 * N_i * N_j), minutes of host NumPy at
+    scale-out sizes (64 agents x thousands of rows)."""
     n = len(splits)
+    Xs = []
+    for Xa, _ in splits:
+        if len(Xa) > max_rows:
+            sel = np.random.RandomState(0).choice(len(Xa), max_rows, replace=False)
+            Xa = Xa[sel]
+        Xs.append(Xa)
     M = np.zeros((n, n))
     for i in range(n):
         for j in range(i + 1, n):
-            Xi, Xj = splits[i][0], splits[j][0]
+            Xi, Xj = Xs[i], Xs[j]
             best = np.inf
             for s in range(0, len(Xi), chunk):
                 d2 = ((Xi[s:s + chunk, None, :] - Xj[None, :, :]) ** 2).sum(-1)
@@ -291,11 +300,12 @@ def plot_agent_data_distribution(agent_data_splits, title="Agent Data Distributi
     ax5.set_xticklabels([f"A{i + 1}" for i in range(n_agents)])
     ax5.set_yticklabels([f"A{i + 1}" for i in range(n_agents)])
     plt.colorbar(im2, ax=ax5, label="Distance")
-    for i in range(n_agents):
-        for j in range(n_agents):
-            if i != j:
-                ax5.text(j, i, f"{overlap[i, j]:.2f}", ha="center",
-                         va="center", color="white", fontsize=8)
+    if n_agents <= 16:  # past ~16 agents the annotations are unreadable
+        for i in range(n_agents):
+            for j in range(n_agents):
+                if i != j:
+                    ax5.text(j, i, f"{overlap[i, j]:.2f}", ha="center",
+                             va="center", color="white", fontsize=8)
 
     ax6 = fig.add_subplot(236)
     densities = _agent_densities(splits)

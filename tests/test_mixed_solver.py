@@ -150,6 +150,28 @@ def test_cv_mixed_matches_float64():
     assert abs(a["mean_r2"] - b["mean_r2"]) < 1e-4
 
 
+def test_cv_mixed_rescores_flagged_folds_in_float64():
+    """Fold systems beyond the f32 factorization's reach (cond >~ 1e7 via
+    duplicated rows + tiny noise) must NOT score +inf under cv_dtype='mixed'
+    when f64 would succeed — they are re-scored through the float64 path so
+    model selection matches the reference's f64 CV."""
+    from dqgp_tpu.models.gp.cv import k_fold_cross_validation_consensus
+
+    spec, X, Y, _ = _mini_problem()
+    X_dup = np.concatenate([X, X])
+    Y_dup = np.concatenate([Y, Y])
+    theta = jnp.asarray(np.random.RandomState(7).uniform(0, np.pi,
+                                                         spec.num_parameters))
+    kw = dict(k_folds=3, random_seed=42, jitter=1e-10)
+    a = k_fold_cross_validation_consensus(spec, X_dup, Y_dup, theta, 1e-5,
+                                          cv_dtype="float64", **kw)
+    b = k_fold_cross_validation_consensus(spec, X_dup, Y_dup, theta, 1e-5,
+                                          cv_dtype="mixed", **kw)
+    assert np.isfinite(a["mean_nlpd"])
+    assert np.isfinite(b["mean_nlpd"])
+    np.testing.assert_allclose(b["mean_nlpd"], a["mean_nlpd"], rtol=1e-8)
+
+
 def test_2d_mesh_mixed_matches_float64():
     """Mixed solver through the agents x data 2-D mesh path."""
     n_dev = len(jax.devices())
