@@ -188,7 +188,8 @@ def gp_posterior_from_grams(
 from functools import partial
 
 
-@partial(jax.jit, static_argnums=(0,), static_argnames=("noise_std", "jitter"))
+@partial(jax.jit, static_argnums=(0,),
+         static_argnames=("noise_std", "jitter", "solver"))
 def predict_quantum_gp(
     spec: QuantumKernelSpec,
     X_train: jax.Array,
@@ -197,13 +198,22 @@ def predict_quantum_gp(
     theta: jax.Array,
     noise_std: float = 0.1,
     jitter: float = 1e-6,
+    solver: str = "auto",
 ) -> Tuple[jax.Array, jax.Array]:
     """End-to-end posterior predict (mean, var) — main.py:1364-1488 twin.
 
     Features are computed once per input set; the test-test Gram is never
     materialized (only its diagonal is needed for the predictive variance —
     the reference computes the full K_test_test, main.py:1429-1431).
+
+    solver="auto" uses the direct f64 solve where it is native LAPACK
+    (CPU/GPU) and the mixed solver (f32 factor + f64 refinement, with a
+    lax.cond f64 rescue on refinement failure — this call is un-vmapped)
+    on TPU, where a direct emulated-f64 Cholesky stack is ~250x slower.
     """
+    if solver == "auto":
+        solver = ("direct" if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm")
+                  else "mixed")
     if jax.config.jax_enable_x64:
         dtype = jnp.float64
         # complex128 is CPU-only: TPU backends cannot even convert c64->c128
@@ -223,6 +233,7 @@ def predict_quantum_gp(
     else:
         K_ss_diag = outer_diag(spec.outer_kernel, F_te, spec.outer_params).astype(dtype)
     mean, var, _ = gp_posterior_from_grams(
-        K_tt, K_st, K_ss_diag, Y_train.astype(dtype), noise_std, jitter
+        K_tt, K_st, K_ss_diag, Y_train.astype(dtype), noise_std, jitter,
+        solver=solver,
     )
     return mean, var
