@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--qubits", type=int, default=10)
     ap.add_argument("--layers", type=int, default=2)
     ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--gp-dtype", type=str, default="auto",
+                    choices=["auto", "float64", "mixed", "float32"],
+                    help="auto = mixed on TPU (f64-grade via f32 factor + "
+                         "f64 refinement), float64 on CPU/GPU")
     ap.add_argument("--mesh", type=str, default=None,
                     help="AxD agent-rows x data-cols 2-D mesh, e.g. 4x2")
     args = ap.parse_args()
@@ -70,32 +74,39 @@ def main():
     theta, psi, _ = init_admm_state(args.agents, P, 42, 100.0)
     theta, psi = jnp.asarray(theta), jnp.asarray(psi)
 
+    from dqgp_tpu.config import resolve_dtype_mode
+
+    gp_dtype = resolve_dtype_mode(args.gp_dtype)
     if args.mesh:
         rows, cols = map(int, args.mesh.split("x"))
         mesh = agents_data_mesh(rows, cols)
         batch, theta, psi = shard_batch_to_mesh_2d(batch, theta, psi, mesh)
         step = make_admm_step_2d(
             spec, mesh, rho=100.0, L=100.0, noise_std=0.1, compute_cond=False,
+            gp_dtype=gp_dtype,
         )
-        print(f"mesh: {rows} agent rows x {cols} data cols")
+        print(f"mesh: {rows} agent rows x {cols} data cols, gp_dtype={gp_dtype}")
     else:
         step = make_admm_step(
             spec, None, rho=100.0, L=100.0, noise_std=0.1,
-            compute_cond=False, grad_method="streamed",
+            compute_cond=False, grad_method="streamed", gp_dtype=gp_dtype,
         )
-        print("single device, grad_method='streamed'")
+        print(f"single device, grad_method='streamed', gp_dtype={gp_dtype}")
 
-    t0 = time.time()
-    out = step(theta, psi, batch)
-    jax.block_until_ready(out)
-    print(f"iteration 1 (incl. compile): {time.time() - t0:.1f} s, "
-          f"mean agent NLL {float(np.mean(np.asarray(out.nll))):.3f}")
-    for i in range(1, args.iters):
+    # NB: the per-iteration NLL fetch is INSIDE the timed region — on remote
+    # relays jax.block_until_ready does not actually block, so fetching a
+    # value is the only reliable completion barrier (~27 ms of the time).
+    def run_one(theta, psi):
         t0 = time.time()
-        out = step(out.theta, out.psi, batch)
-        jax.block_until_ready(out)
-        print(f"iteration {i + 1}: {time.time() - t0:.2f} s, "
-              f"mean agent NLL {float(np.mean(np.asarray(out.nll))):.3f}")
+        out = step(theta, psi, batch)
+        nll_mean = float(np.mean(np.asarray(out.nll)))
+        return out, nll_mean, time.time() - t0
+
+    out, nll_mean, dt = run_one(theta, psi)
+    print(f"iteration 1 (incl. compile): {dt:.1f} s, mean agent NLL {nll_mean:.3f}")
+    for i in range(1, args.iters):
+        out, nll_mean, dt = run_one(out.theta, out.psi)
+        print(f"iteration {i + 1}: {dt:.2f} s, mean agent NLL {nll_mean:.3f}")
     assert np.all(np.isfinite(np.asarray(out.z)))
     print("z[:6] =", np.round(np.asarray(out.z[:6]), 4))
 
