@@ -27,7 +27,6 @@ from . import manifold as M
 from .models.gp.cv import k_fold_cross_validation_consensus
 from .models.kernels.quantum_kernel import QuantumKernelSpec
 from .parallel.consensus import (
-    AgentBatch,
     agents_mesh,
     make_admm_step,
     make_agent_batch,

@@ -24,12 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...ops.linalg import (
-    SolveResult,
     condition_number,
     contraction_dtype,
     get_psd_solver,
     masked_identity_pad,
-    solve_psd_with_fallback,
 )
 from ..kernels.quantum_kernel import (
     QuantumKernelSpec,

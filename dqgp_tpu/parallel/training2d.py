@@ -31,7 +31,6 @@ asserts step-for-step agreement with the single-device path.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
