@@ -399,9 +399,14 @@ def main(argv=None):
                 _cg_predictors[key] = make_cg_predictor(
                     spec, X_train, Y_train, params64, args.noise_std)
             return _cg_predictors[key](X_eval)
+        # honor --gp-dtype on the final predict too: float64 must force the
+        # direct solve everywhere (the documented mixed-solver escape hatch)
+        solver = {"float64": "direct", "float32": "direct",
+                  "mixed": "mixed"}.get(args.gp_dtype, "auto")
         return predict_quantum_gp(
             spec, jnp.asarray(X_train), jnp.asarray(Y_train),
-            jnp.asarray(X_eval), params64, noise_std=args.noise_std)
+            jnp.asarray(X_eval), params64, noise_std=args.noise_std,
+            solver=solver)
 
     if large_n:
         log(f"n_train={len(X_train)} > --predict-cg-threshold="

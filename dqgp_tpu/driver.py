@@ -367,9 +367,8 @@ def train(
                 log(f"  fused step+CV failed ({e}); disabling fusion, "
                     f"separate CV from here on")
                 step_with_cv = None
-                out, packed = step_packed(theta, psi, batch)
-                host = np.asarray(packed)
-        else:
+                host = None
+        if step_with_cv is None:
             out, packed = step_packed(theta, psi, batch)
             host = np.asarray(packed)
         z, sec, fold_scores = _unpack(host)
@@ -408,15 +407,19 @@ def train(
         # --- per-iteration CV model selection (main.py:2645-2716) ---------
         if cfg.run_cv:
             try:
+                cv_dtype_iter = cfg.cv_dtype
                 if (fold_scores is not None and cfg.cv_dtype == "mixed"
                         and not np.all(np.isfinite(fold_scores[0]))):
                     # the f32-factorized fold solve could not be refined to
                     # f64 accuracy (cond beyond ~1e7); the reference's f64
                     # CV would have succeeded — re-score in float64 rather
                     # than letting the inf penalty skew model selection
+                    # (straight to float64: re-running mixed would flag the
+                    # same folds deterministically)
                     log("  mixed CV solver flagged fold(s); re-scoring this "
                         "iteration's CV in float64")
                     fold_scores = None
+                    cv_dtype_iter = "float64"
                 if fold_scores is not None:
                     cv = aggregate_cv_scores(*fold_scores, cfg.cv_folds)
                 else:
@@ -424,7 +427,7 @@ def train(
                         spec, X_cv, Y_cv, z, cfg.noise_std,
                         k_folds=cfg.cv_folds,
                         random_seed=cfg.seed + it,  # per-iter seed (main.py:2665)
-                        cv_dtype=cfg.cv_dtype,
+                        cv_dtype=cv_dtype_iter,
                     )
                 cv_score = cv["mean_nlpd"]
                 if cv_score < cv_best:

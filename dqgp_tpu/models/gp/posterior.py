@@ -210,8 +210,11 @@ def predict_quantum_gp(
     on TPU, where a direct emulated-f64 Cholesky stack is ~250x slower.
     """
     if solver == "auto":
-        solver = ("direct" if jax.default_backend() in ("cpu", "gpu", "cuda", "rocm")
-                  else "mixed")
+        from ...config import resolve_dtype_mode
+
+        # one source of truth for the backend predicate: float64 -> direct
+        # LAPACK-grade solve, mixed -> f32 factor + f64 refinement
+        solver = {"float64": "direct", "mixed": "mixed"}[resolve_dtype_mode("auto")]
     if jax.config.jax_enable_x64:
         dtype = jnp.float64
         # complex128 is CPU-only: TPU backends cannot even convert c64->c128

@@ -155,7 +155,11 @@ def test_cv_mixed_rescores_flagged_folds_in_float64():
     duplicated rows + tiny noise) must NOT score +inf under cv_dtype='mixed'
     when f64 would succeed — they are re-scored through the float64 path so
     model selection matches the reference's f64 CV."""
-    from dqgp_tpu.models.gp.cv import k_fold_cross_validation_consensus
+    from dqgp_tpu.models.gp.cv import (
+        _cv_fold_scores,
+        k_fold_cross_validation_consensus,
+        kfold_pad_indices,
+    )
 
     spec, X, Y, _ = _mini_problem()
     X_dup = np.concatenate([X, X])
@@ -163,6 +167,13 @@ def test_cv_mixed_rescores_flagged_folds_in_float64():
     theta = jnp.asarray(np.random.RandomState(7).uniform(0, np.pi,
                                                          spec.num_parameters))
     kw = dict(k_folds=3, random_seed=42, jitter=1e-10)
+    # guard against vacuity: the raw mixed fold pass must actually flag
+    # (else this test would pass without exercising the rescore branch)
+    idx = kfold_pad_indices(len(X_dup), 3, 42)
+    raw_nlpds, _, _ = _cv_fold_scores(
+        spec, jnp.asarray(X_dup), jnp.asarray(Y_dup), theta, *idx,
+        noise_std=1e-5, jitter=1e-10, cv_dtype="mixed")
+    assert not np.all(np.isfinite(np.asarray(raw_nlpds)))
     a = k_fold_cross_validation_consensus(spec, X_dup, Y_dup, theta, 1e-5,
                                           cv_dtype="float64", **kw)
     b = k_fold_cross_validation_consensus(spec, X_dup, Y_dup, theta, 1e-5,
