@@ -278,7 +278,12 @@ def _admm_step_time(mode: str):
             return jnp.sum(th) + jnp.sum(ps)
         return lambda: f(theta0, psi0)
 
-    return _two_point_time(make_k_program)
+    # start each mode's chains long enough that the two-point delta clears
+    # the 50 ms noise floor WITHOUT escalation — every escalation round
+    # compiles two more fori_loop programs (minutes each on the remote
+    # relay) and has blown a subprocess timeout before
+    k = {"f32": (16, 128), "mixed": (8, 48)}.get(mode, (4, 24))
+    return _two_point_time(make_k_program, k_lo=k[0], k_hi=k[1])
 
 
 def mode_admm_f32():
@@ -490,19 +495,27 @@ def main():
         }))
         return
 
-    gram_res = _run_mode("gram", 900)
-    f32_res = _run_mode("admm_f32", 900)
-    par_res = _run_mode("admm_parity", 1200)
-    mix_res = _run_mode("admm_mixed", 1200)
+    gram_res = _run_mode("gram", 1200)
+    f32_res = _run_mode("admm_f32", 1500)
+    par_res = _run_mode("admm_parity", 1500)
+    mix_res = _run_mode("admm_mixed", 1500)
     gate_res = _run_mode("parity_gate", 1800)
 
     f32_dt = f32_res.get("iter_seconds")
     par_dt = par_res.get("iter_seconds")
     mix_dt = mix_res.get("iter_seconds")
+    # headline = raw f32; if that one mode failed (subprocess timeout on a
+    # slow relay day), fall back to the gated mixed number rather than
+    # recording null — any available timing beats none
+    head_dt, head_unit = f32_dt, "iterations/s (north-star SRTM-1000 config, 1 chip)"
+    if not head_dt and mix_dt:
+        head_dt = mix_dt
+        head_unit = ("iterations/s (north-star SRTM-1000 config, 1 chip; "
+                     "mixed-solver mode — f32 timing unavailable this run)")
     record = {
         "metric": "admm_iters_per_sec",
-        "value": round(1.0 / f32_dt, 4) if f32_dt else None,
-        "unit": "iterations/s (north-star SRTM-1000 config, 1 chip)",
+        "value": round(1.0 / head_dt, 4) if head_dt else None,
+        "unit": head_unit,
         # honest ratio: the mixed mode (f64-grade accuracy via f32
         # factorization + f64 refinement, cond + fallback on — gated below
         # to match the direct-f64 trajectory) vs the NumPy reference-style
