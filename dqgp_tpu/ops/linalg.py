@@ -98,13 +98,16 @@ def solve_psd_mixed(C: jax.Array, y: jax.Array, fallback: bool = True,
     factors once in f32 on the MXU and recovers f64 accuracy with
     matmul-shaped f64 work only:
 
-    * ``C^{-1} y`` — classical iterative refinement: f64 residual matvecs
-      (O(N^2)), corrections through the f32 factor. Converges to ~f64
-      roundoff when cond(C) is within f32's reach (~1e7), i.e. everywhere
-      the reference's own f64 LAPACK path is meaningfully accurate.
     * ``C^{-1}`` — f32 explicit inverse polished by Newton-Schulz
       ``X <- X (2I - C X)`` (quadratic: f32's 1e-7 error -> ~1e-14 in two
       steps), each step two MXU-friendly f64 matmuls.
+    * ``C^{-1} y`` — with ``need_inverse`` (the gradient-bracket path),
+      one f64 matvec ``X y`` through the polished inverse — no sequential
+      triangular-solve chain. Without it, classical iterative refinement:
+      f64 residual matvecs (O(N^2)), corrections through the f32 factor.
+      Both converge to ~f64 roundoff when cond(C) is within f32's reach
+      (~1e7), i.e. everywhere the reference's own f64 LAPACK path is
+      meaningfully accurate.
     * ``logdet`` — from the f32 factor's diagonal, summed in f64 (relative
       error ~N*eps_f32; the NLL's log-det term is reporting/convergence
       signal, not a quantity the 4-dp-rounded trajectory depends on).
@@ -139,18 +142,13 @@ def solve_psd_mixed(C: jax.Array, y: jax.Array, fallback: bool = True,
         w = solve_triangular(L_safe, b, lower=True)
         return solve_triangular(L_safe.T, w, lower=False)
 
-    x = s32(y.astype(jnp.float32)).astype(jnp.float64)
-
-    def refine(_, xk):
-        r = y - C @ xk
-        return xk + s32(r.astype(jnp.float32)).astype(jnp.float64)
-
-    x = lax.fori_loop(0, refine_iters, refine, x)
-    y_norm = jnp.maximum(jnp.linalg.norm(y), jnp.finfo(jnp.float64).tiny)
-    rnorm = jnp.linalg.norm(y - C @ x) / y_norm
-    ok = ok32 & (rnorm < rtol) & jnp.all(jnp.isfinite(x))
-
     if need_inverse:
+        # The polished explicit inverse is needed anyway (gradient bracket),
+        # so derive x = X y from it: one f64 matvec instead of the
+        # sequential initial-solve + refine_iters triangular-solve rounds
+        # (triangular solves are latency-bound on TPU; this is the mixed
+        # step's dominant serial chain). Accuracy matches the refinement
+        # path: Newton-Schulz is quadratic, eps_f32^2 < 1e-13 relative.
         eye64 = jnp.eye(n, dtype=C.dtype)
         X = s32(eye32).astype(jnp.float64)
 
@@ -158,9 +156,20 @@ def solve_psd_mixed(C: jax.Array, y: jax.Array, fallback: bool = True,
             return Xk @ (2.0 * eye64 - C @ Xk)
 
         X = lax.fori_loop(0, 2, newton, X)
-        ok = ok & jnp.all(jnp.isfinite(X))
+        x = X @ y
     else:
         X = jnp.zeros_like(C)
+        x = s32(y.astype(jnp.float32)).astype(jnp.float64)
+
+        def refine(_, xk):
+            r = y - C @ xk
+            return xk + s32(r.astype(jnp.float32)).astype(jnp.float64)
+
+        x = lax.fori_loop(0, refine_iters, refine, x)
+
+    y_norm = jnp.maximum(jnp.linalg.norm(y), jnp.finfo(jnp.float64).tiny)
+    rnorm = jnp.linalg.norm(y - C @ x) / y_norm
+    ok = ok32 & (rnorm < rtol) & jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(X))
 
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_safe).astype(jnp.float64)))
 
