@@ -89,8 +89,13 @@ def cv_fold_scores_impl(
     # Upcast features so the GP-side Gram/solve numerics match the reference's
     # f64 LAPACK path (statevector work itself stays in f32/c64). cv_dtype
     # "float32" trades ~1e-4 NLPD noise for ~10x faster folds on emulated-f64
-    # TPU backends (model selection only needs NLPD ordering).
-    if dtype == jnp.float64:
+    # TPU backends (model selection only needs NLPD ordering). The mixed
+    # solver keeps the Gram construction in f32 too — its factorization is
+    # f32 regardless, features are f32-accurate to begin with, and the
+    # emulated-f64 outer-kernel matmuls/exponentials would otherwise
+    # dominate the fused step+CV program (the .astype(dtype) below still
+    # hands f64 Grams to the solve).
+    if dtype == jnp.float64 and solver == "direct":
         if spec.kernel_type == "fidelity":
             from ... import config as _config
 

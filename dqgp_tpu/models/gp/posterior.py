@@ -157,6 +157,30 @@ def gp_posterior_from_grams(
     y = y_train * m
     K_st = K_st * m[None, :]
 
+    if solver.startswith("mixed") and dtype == jnp.float64:
+        # Mixed: materialize the Newton-Schulz-polished inverse (one batched
+        # triangular pass + MXU f64 matmuls) so the mean is a single matvec
+        # X y — no sequential refinement chain. The variance keeps the f32
+        # triangular form v = L^{-1} K*^T (one batched pass): its O(1)
+        # intermediates give ~1e-7 accuracy, where the inverse-based
+        # quadratic's O(1/noise^2) intermediates cancel to only ~1e-4.
+        from jax.scipy.linalg import solve_triangular
+
+        res = get_psd_solver(solver)(C, y, need_inverse=True)
+        mean = K_st @ res.C_inv_y
+        vdt = contraction_dtype(solver, dtype)
+
+        def chol_var_m(_):
+            v = solve_triangular(res.L.astype(vdt), K_st.T.astype(vdt), lower=True)
+            return K_ss_diag - jnp.sum(v * v, axis=0).astype(dtype)
+
+        def inv_var_m(_):
+            # rescue path (res.L is a placeholder there) — C_inv is real
+            return K_ss_diag - jnp.sum((K_st @ res.C_inv) * K_st, axis=1)
+
+        var = jax.lax.cond(res.chol_ok, chol_var_m, inv_var_m, None)
+        return mean, jnp.maximum(var, 1e-10), res.chol_ok
+
     # C^{-1} is only materialized on the (rare) fallback path — the Cholesky
     # path uses L directly for mean and variance.
     res = get_psd_solver(solver)(C, y, need_inverse=False)
@@ -165,15 +189,9 @@ def gp_posterior_from_grams(
     # on the fallback path use the explicit inverse (main.py:1476-1482).
     from jax.scipy.linalg import solve_triangular
 
-    # With the mixed solver, run the variance triangular solve in f32 (L is
-    # an f32-accurate factor anyway; an emulated-f64 triangular solve would
-    # give the direct path's cost right back). Predictive variances are O(1)
-    # magnitudes clamped at 1e-10 — f32 roundoff is immaterial.
-    vdt = contraction_dtype(solver, dtype)
-
     def chol_var(_):
-        v = solve_triangular(res.L.astype(vdt), K_st.T.astype(vdt), lower=True)
-        return K_ss_diag - jnp.sum(v * v, axis=0).astype(dtype)
+        v = solve_triangular(res.L, K_st.T, lower=True)
+        return K_ss_diag - jnp.sum(v * v, axis=0)
 
     def inv_var(_):
         return K_ss_diag - jnp.sum((K_st @ res.C_inv) * K_st, axis=1)

@@ -144,10 +144,13 @@ def test_cv_mixed_matches_float64():
                                           random_seed=42, cv_dtype="float64")
     b = k_fold_cross_validation_consensus(spec, X, Y, theta, 0.1, k_folds=3,
                                           random_seed=42, cv_dtype="mixed")
-    # mixed runs the predictive-variance triangular solve in f32 -> ~1e-6
-    # NLPD noise, far below anything selection-relevant (z rounds to 4dp)
-    assert abs(a["mean_nlpd"] - b["mean_nlpd"]) < 1e-4
-    assert abs(a["mean_r2"] - b["mean_r2"]) < 1e-4
+    # mixed builds fold Grams in f32 and computes the predictive variance
+    # through the f32-contracted polished inverse -> ~1e-4 NLPD noise, far
+    # below anything selection-relevant (iteration-to-iteration CV-NLPD
+    # moves are O(0.01-10), and z rounds to 4dp); bench.py's parity gate
+    # bounds the same deviation at 0.05
+    assert abs(a["mean_nlpd"] - b["mean_nlpd"]) < 1e-3
+    assert abs(a["mean_r2"] - b["mean_r2"]) < 1e-3
 
 
 def test_cv_mixed_rescores_flagged_folds_in_float64():
