@@ -126,6 +126,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="subsample the training set for per-iteration CV "
                              "beyond this size (the dense fold Grams are "
                              "O(n^2); scale-out runs cap the CV set)")
+    parser.add_argument("--chain-iters", type=int, default=1,
+                        help=">1: run this many ADMM iterations per device "
+                             "dispatch (amortizes per-dispatch relay "
+                             "overhead; identical trajectory and stopping "
+                             "iteration)")
     parser.add_argument("--predict-cg-threshold", type=int, default=8192,
                         help="above this training size the final prediction "
                              "uses the matrix-free CG posterior instead of "
@@ -352,6 +357,7 @@ def main(argv=None):
         cv_dtype=args.cv_dtype,
         run_cv=not args.no_cv,
         n_mesh_devices=args.mesh_devices,
+        chain_iters=args.chain_iters,
         data_mesh_cols=args.data_mesh_cols,
         cv_max_samples=args.cv_max_samples,
         checkpoint_dir=args.checkpoint_dir,

@@ -59,6 +59,17 @@ class TrainConfig:
     cv_max_samples: Optional[int] = None  # subsample X_train for CV beyond
                                     # this size (the dense fold Grams are
                                     # O(n^2); scale-out runs cap the CV set)
+    chain_iters: int = 1            # >1: run this many ADMM iterations per
+                                    # device dispatch (lax.scan over the
+                                    # fused step+CV body). On remote-relay
+                                    # runtimes each dispatch costs ~0.1 s
+                                    # regardless of device time (~3 ms per
+                                    # north-star iteration); chaining
+                                    # amortizes it k-fold. Trajectory and
+                                    # stopping iteration are identical —
+                                    # rows replay through the same host
+                                    # bookkeeping in order and speculative
+                                    # iterations past a stop are discarded.
     n_mesh_devices: Optional[int] = None  # None = all local devices
     data_mesh_cols: Optional[int] = None  # >1: agents x data 2-D mesh — each
                                     # agent's Gram panels row-shard over this
@@ -224,7 +235,7 @@ def train(
     # iteration is packed into ONE float64 vector on device:
     #   [z (P) | ||z-theta_i|| (A) | nll (A) | cond (A) | logdet (A) |
     #    quad (A) | const (A) | cv nlpd/r2/rmse (3k, fused-CV only)]
-    def _pack(out, scores=None):
+    def _pack(out, scores=None, with_state=False):
         f64 = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         norms = jnp.linalg.norm(
             out.z[None, :].astype(f64) - out.theta.astype(f64), axis=1
@@ -233,6 +244,11 @@ def train(
                  out.log_det_term, out.quadratic_term, out.constant_term]
         if scores is not None:
             parts.extend(scores)
+        if with_state:
+            # chained rows carry theta/psi so mid-chunk bookkeeping (early
+            # stop, checkpoints, mixed-solver f64 re-runs) needs no extra
+            # host fetches
+            parts.extend([out.theta, out.psi])
         return jnp.concatenate([jnp.ravel(p).astype(f64) for p in parts])
 
     def _unpack(h):
@@ -240,6 +256,14 @@ def train(
         sec = h[P:P + 6 * n_agents].reshape(6, n_agents)
         scores = h[P + 6 * n_agents:]
         return z, sec, (scores.reshape(3, -1) if scores.size else None)
+
+    def _unpack_row(h):
+        """Chained-mode rows: _unpack payload + theta/psi (A, P) at the tail."""
+        state = h[h.size - 2 * n_agents * P:]
+        th = state[: n_agents * P].reshape(n_agents, P)
+        ps = state[n_agents * P:].reshape(n_agents, P)
+        z, sec, scores = _unpack(h[: h.size - 2 * n_agents * P])
+        return z, sec, scores, th, ps
 
     # gp_dtype="mixed" flags agents whose f32-factorized solve could not be
     # refined to f64 accuracy (cond beyond ~1e7) as NaN instead of paying the
@@ -342,46 +366,26 @@ def train(
     error_history: List[float] = []
     z_best_gt, error_best = None, float("inf")
     converged_by = "max_iter"
+    z_prev = np.asarray(z, np.float64)
 
-    it = start_iter
-    t0 = time.time()
-    while True:
-        it += 1
-        it_start = time.time()
-        z_old = np.asarray(z)
+    def place_state(theta_np, psi_np):
+        """Host numpy theta/psi -> device arrays with the step's sharding."""
+        from jax.sharding import NamedSharding, PartitionSpec
 
-        if step_with_cv is not None:
-            try:
-                idx = kfold_pad_indices(len(X_cv), cfg.cv_folds,
-                                        cfg.seed + it)  # seed+iter (main.py:2665)
-                out, packed = step_with_cv(theta, psi, batch,
-                                           Xtr_j, Ytr_j, *idx)
-                # ONE host fetch per training iteration (see _pack above);
-                # inside the try because async runtime failures (e.g. OOM
-                # executing the compiled fused program) surface at the
-                # blocking fetch, not at dispatch
-                host = np.asarray(packed)
-            except Exception as e:
-                # disable fusion permanently — re-attempting would re-trace
-                # (and re-fail) a minutes-long compile every iteration
-                log(f"  fused step+CV failed ({e}); disabling fusion, "
-                    f"separate CV from here on")
-                step_with_cv = None
-                host = None
-        if step_with_cv is None:
-            out, packed = step_packed(theta, psi, batch)
-            host = np.asarray(packed)
-        z, sec, fold_scores = _unpack(host)
-        if cfg.gp_dtype == "mixed" and not np.all(np.isfinite(sec[1])):
-            # The consensus z-update only reads LAST iteration's theta/psi,
-            # so z (and any fused CV scores on it) is valid even when an
-            # agent's mixed solve was flagged — only the agent-side outputs
-            # need the f64 re-run.
-            log("  mixed solver flagged an ill-conditioned agent system; "
-                "re-running this iteration's agent updates in float64")
-            out, packed64 = get_step64()(theta, psi, batch)
-            z, sec, _ = _unpack(np.asarray(packed64))  # keeps fused CV scores
-        theta, psi = out.theta, out.psi
+        th = jnp.asarray(theta_np, jnp.float64)
+        ps = jnp.asarray(psi_np, jnp.float64)
+        m = mesh2d if mesh2d is not None else mesh
+        if m is not None:
+            s1 = NamedSharding(m, PartitionSpec("agents"))
+            th, ps = jax.device_put(th, s1), jax.device_put(ps, s1)
+        return th, ps
+
+    def record_iteration(it, z_row, sec, fold_scores, it_time, get_state):
+        """All host bookkeeping for one completed iteration (identical for
+        per-iteration and chained dispatch); returns the stop reason
+        ('consensus' | 'cv_patience' | 'max_iter') or None."""
+        nonlocal cv_best, z_best_cv, patience_counter, z_prev
+        nonlocal z_best_gt, error_best
 
         theta_z_norms, nll, conds, lds, quads, consts = sec
         valid = nll[np.isfinite(nll)]
@@ -424,7 +428,7 @@ def train(
                     cv = aggregate_cv_scores(*fold_scores, cfg.cv_folds)
                 else:
                     cv = k_fold_cross_validation_consensus(
-                        spec, X_cv, Y_cv, z, cfg.noise_std,
+                        spec, X_cv, Y_cv, z_row, cfg.noise_std,
                         k_folds=cfg.cv_folds,
                         random_seed=cfg.seed + it,  # per-iter seed (main.py:2665)
                         cv_dtype=cv_dtype_iter,
@@ -432,7 +436,7 @@ def train(
                 cv_score = cv["mean_nlpd"]
                 if cv_score < cv_best:
                     cv_best = cv_score
-                    z_best_cv = z.copy()
+                    z_best_cv = z_row.copy()
                     patience_counter = 0
                 else:
                     patience_counter += 1
@@ -443,7 +447,7 @@ def train(
                     "cv_r2": cv["mean_r2"],
                     "valid_folds": cv["valid_folds"],
                     "total_folds": cv["total_folds"],
-                    "consensus_params": z.copy(),
+                    "consensus_params": z_row.copy(),
                 })
             except Exception as e:  # fold machinery failure -> patience tick
                 log(f"  CV evaluation failed: {e}")
@@ -455,23 +459,23 @@ def train(
                     "cv_r2": -float("inf"),
                     "valid_folds": 0,
                     "total_folds": cfg.cv_folds,
-                    "consensus_params": z.copy(),
+                    "consensus_params": z_row.copy(),
                 })
 
         # --- convergence metrics (main.py:2718-2726) ----------------------
         # theta_z_norms (Euclidean — reference quirk) came packed from the
         # device; theta itself stays device-resident between iterations.
         max_norm = float(theta_z_norms.max())
-        z_change = float(np.linalg.norm(z - z_old))
+        z_change = float(np.linalg.norm(z_row - z_prev))
+        z_prev = np.asarray(z_row, np.float64)
 
         if ground_truth_params is not None:
-            param_error = M.np_distance(z, ground_truth_params)
+            param_error = M.np_distance(z_row, ground_truth_params)
             error_history.append(float(np.round(param_error, 4)))
             if param_error < error_best:
                 error_best = param_error
-                z_best_gt = z.copy()
+                z_best_gt = z_row.copy()
 
-        it_time = time.time() - it_start
         cvs = cv_history[-1]["consensus_cv_score"] if cv_history else float("nan")
         log(
             f"iter {it:4d}  nll_sum={nll_history[-1]['total_nll']:.4f}  "
@@ -496,24 +500,165 @@ def train(
                     f"Const={consts[i]:.4f}]  cond={c:.2e} ({status})")
 
         if cfg.checkpoint_dir and it % cfg.checkpoint_every == 0:
+            th_np, ps_np = get_state()
             save_checkpoint(
                 os.path.join(cfg.checkpoint_dir, f"ckpt_{it:05d}.npz"),
-                it, np.asarray(theta), np.asarray(psi), z, cv_best, z_best_cv,
+                it, th_np, ps_np, z_row, cv_best, z_best_cv,
                 patience_counter,
             )
 
         # --- stopping (main.py:2767-2784) ---------------------------------
         if np.all(theta_z_norms < cfg.tolerance):
-            converged_by = "consensus"
-            break
+            return "consensus"
         if cfg.run_cv and patience_counter >= cfg.cv_patience:
-            converged_by = "cv_patience"
-            if z_best_cv is not None:  # CV may never have produced a finite score
-                z = z_best_cv.copy()
-            break
+            return "cv_patience"
         if it >= cfg.max_iter:
-            converged_by = "max_iter"
-            if z_best_cv is not None:
+            return "max_iter"
+        return None
+
+    # --- chained dispatch: chain_iters iterations per device program -------
+    chain_k = max(1, int(cfg.chain_iters))
+    chained_step = None
+    if chain_k > 1:
+        if cfg.run_cv and step_with_cv is not None:
+            @jax.jit
+            def chained_step(theta, psi, batch, X_tr, Y_tr,
+                             tr_i, tr_m, va_i, va_m):
+                def body(carry, xs):
+                    th, ps = carry
+                    out = step(th, ps, batch)
+                    scores = cv_fold_scores_impl(
+                        spec, X_tr, Y_tr, out.z, *xs,
+                        noise_std=float(cfg.noise_std), cv_dtype=cfg.cv_dtype,
+                    )
+                    return (out.theta, out.psi), _pack(out, scores,
+                                                       with_state=True)
+                (th_f, ps_f), rows = jax.lax.scan(
+                    body, (theta, psi), (tr_i, tr_m, va_i, va_m))
+                return th_f, ps_f, rows
+        elif not cfg.run_cv:
+            @jax.jit
+            def chained_step(theta, psi, batch):
+                def body(carry, _):
+                    th, ps = carry
+                    out = step(th, ps, batch)
+                    return (out.theta, out.psi), _pack(out, with_state=True)
+                (th_f, ps_f), rows = jax.lax.scan(
+                    body, (theta, psi), None, length=chain_k)
+                return th_f, ps_f, rows
+
+    it = start_iter
+    t0 = time.time()
+    while True:
+        # ==== chained mode: one dispatch + ONE fetch per chain_k iterations
+        if chained_step is not None:
+            chunk_start = time.time()
+            try:
+                if cfg.run_cv:
+                    idx = [kfold_pad_indices(len(X_cv), cfg.cv_folds,
+                                             cfg.seed + it + 1 + j)
+                           for j in range(chain_k)]
+                    stacked = [jnp.stack([ix[c] for ix in idx])
+                               for c in range(4)]
+                    th_n, ps_n, rows_dev = chained_step(theta, psi, batch,
+                                                        Xtr_j, Ytr_j, *stacked)
+                else:
+                    th_n, ps_n, rows_dev = chained_step(theta, psi, batch)
+                rows = np.asarray(rows_dev)  # the chunk's single host fetch
+            except Exception as e:
+                log(f"  chained dispatch failed ({e}); falling back to "
+                    f"per-iteration dispatch")
+                chained_step = None
+                continue
+
+            stop = None
+            redo64 = False
+            t_row = (time.time() - chunk_start) / chain_k
+            for j in range(chain_k):
+                z_row, sec, fold_scores, th_row, ps_row = _unpack_row(rows[j])
+                if cfg.gp_dtype == "mixed" and not np.all(np.isfinite(sec[1])):
+                    # A flagged agent poisons every later row in the chunk
+                    # (NaN theta/psi propagate); re-run THIS iteration's
+                    # agent updates in f64 from the pre-row state, then
+                    # restart chunking from the corrected state. z and the
+                    # fused CV scores of this row are valid regardless (the
+                    # z-update reads only last iteration's theta/psi).
+                    redo64 = True
+                    if j == 0:
+                        th_prev = np.asarray(theta, np.float64)
+                        ps_prev = np.asarray(psi, np.float64)
+                    else:
+                        _, _, _, th_prev, ps_prev = _unpack_row(rows[j - 1])
+                    log("  mixed solver flagged an ill-conditioned agent "
+                        "system; re-running this iteration's agent updates "
+                        "in float64")
+                    th_d, ps_d = place_state(th_prev, ps_prev)
+                    out64, packed64 = get_step64()(th_d, ps_d, batch)
+                    z_row, sec, _ = _unpack(np.asarray(packed64))
+                    th_n, ps_n = out64.theta, out64.psi
+                    th_row = np.asarray(out64.theta, np.float64)
+                    ps_row = np.asarray(out64.psi, np.float64)
+                it += 1
+                z = z_row
+                stop = record_iteration(it, z_row, sec, fold_scores, t_row,
+                                        lambda: (np.asarray(th_row),
+                                                 np.asarray(ps_row)))
+                if stop is not None or redo64:
+                    break
+            if stop is not None:
+                # mid-chunk stop: discard speculative rows; final state is
+                # this row's (host) theta/psi
+                theta, psi = np.asarray(th_row), np.asarray(ps_row)
+                converged_by = stop
+                if stop in ("cv_patience", "max_iter") and z_best_cv is not None:
+                    z = z_best_cv.copy()
+                break
+            theta, psi = th_n, ps_n
+            continue
+
+        # ==== per-iteration mode ==========================================
+        it += 1
+        it_start = time.time()
+
+        if step_with_cv is not None:
+            try:
+                idx = kfold_pad_indices(len(X_cv), cfg.cv_folds,
+                                        cfg.seed + it)  # seed+iter (main.py:2665)
+                out, packed = step_with_cv(theta, psi, batch,
+                                           Xtr_j, Ytr_j, *idx)
+                # ONE host fetch per training iteration (see _pack above);
+                # inside the try because async runtime failures (e.g. OOM
+                # executing the compiled fused program) surface at the
+                # blocking fetch, not at dispatch
+                host = np.asarray(packed)
+            except Exception as e:
+                # disable fusion permanently — re-attempting would re-trace
+                # (and re-fail) a minutes-long compile every iteration
+                log(f"  fused step+CV failed ({e}); disabling fusion, "
+                    f"separate CV from here on")
+                step_with_cv = None
+                host = None
+        if step_with_cv is None:
+            out, packed = step_packed(theta, psi, batch)
+            host = np.asarray(packed)
+        z, sec, fold_scores = _unpack(host)
+        if cfg.gp_dtype == "mixed" and not np.all(np.isfinite(sec[1])):
+            # The consensus z-update only reads LAST iteration's theta/psi,
+            # so z (and any fused CV scores on it) is valid even when an
+            # agent's mixed solve was flagged — only the agent-side outputs
+            # need the f64 re-run.
+            log("  mixed solver flagged an ill-conditioned agent system; "
+                "re-running this iteration's agent updates in float64")
+            out, packed64 = get_step64()(theta, psi, batch)
+            z, sec, _ = _unpack(np.asarray(packed64))  # keeps fused CV scores
+        theta, psi = out.theta, out.psi
+
+        stop = record_iteration(
+            it, z, sec, fold_scores, time.time() - it_start,
+            lambda: (np.asarray(theta), np.asarray(psi)))
+        if stop is not None:
+            converged_by = stop
+            if stop in ("cv_patience", "max_iter") and z_best_cv is not None:
                 z = z_best_cv.copy()
             break
 

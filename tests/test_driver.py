@@ -125,3 +125,83 @@ def test_cv_patience_with_no_valid_cv_does_not_crash():
     assert res.converged_by == "cv_patience"
     assert res.z_best_cv is None
     assert np.all(np.isfinite(res.z))
+
+
+def test_chained_dispatch_matches_per_iteration():
+    """chain_iters>1 runs k iterations per device program; the trajectory,
+    CV history, and final state must match per-iteration dispatch exactly
+    (rows replay through the same bookkeeping; parity rounding makes the
+    comparison bit-level)."""
+    spec, X, Y, gt = _make_problem(n=40)
+    splits = split_data_numpy(X, Y, 4, "random", random_seed=42)
+    base = dict(rho=100.0, L=100.0, noise_std=0.05, cv_folds=3, seed=42,
+                compute_cond=False, verbose=False, max_iter=7)
+
+    a = train(spec, splits, X, Y, TrainConfig(**base), ground_truth_params=gt)
+    b = train(spec, splits, X, Y, TrainConfig(chain_iters=3, **base),
+              ground_truth_params=gt)
+
+    # 7 iterations over chunks of 3: the last chunk stops mid-chunk at
+    # max_iter and discards the speculative row
+    assert b.iterations == a.iterations == 7
+    assert b.converged_by == a.converged_by
+    np.testing.assert_array_equal(b.z, a.z)
+    np.testing.assert_array_equal(b.theta, a.theta)
+    np.testing.assert_array_equal(b.psi, a.psi)
+    np.testing.assert_array_equal(b.z_best_cv, a.z_best_cv)
+    assert b.error_history == a.error_history
+    # NLL/CV scalars: XLA fuses the scan body differently from the
+    # standalone program -> 1-ulp reduction-order noise (the 4-dp rounding
+    # keeps the trajectory itself bit-identical)
+    np.testing.assert_allclose(b.cv_best, a.cv_best, rtol=1e-12)
+    for ha, hb in zip(a.cv_history, b.cv_history):
+        np.testing.assert_allclose(hb["consensus_cv_score"],
+                                   ha["consensus_cv_score"], rtol=1e-12)
+    for ha, hb in zip(a.nll_history, b.nll_history):
+        np.testing.assert_allclose(hb["agent_losses"], ha["agent_losses"],
+                                   rtol=1e-12)
+
+
+def test_chained_dispatch_no_cv_and_checkpoints(tmp_path):
+    """Chained mode without CV, mid-chunk checkpointing: checkpoint at an
+    iteration inside a chunk must carry that iteration's theta/psi."""
+    spec, X, Y, gt = _make_problem(n=32)
+    splits = split_data_numpy(X, Y, 2, "sequential")
+    base = dict(rho=100.0, L=100.0, noise_std=0.05, seed=42,
+                compute_cond=False, verbose=False, run_cv=False, max_iter=6)
+
+    a = train(spec, splits, X, Y, TrainConfig(**base))
+    b = train(spec, splits, X, Y,
+              TrainConfig(chain_iters=4, checkpoint_dir=str(tmp_path),
+                          checkpoint_every=3, **base))
+    np.testing.assert_array_equal(b.z, a.z)
+    np.testing.assert_array_equal(b.theta, a.theta)
+
+    ck = load_checkpoint(str(tmp_path / "ckpt_00003.npz"))
+    assert ck["iteration"] == 3
+    assert ck["theta"].shape == (2, spec.num_parameters)
+    # iteration 3 is mid-chunk (chunk = iters 1-4): resume from it must
+    # reproduce the uninterrupted trajectory
+    resumed = train(spec, splits, X, Y, TrainConfig(**base),
+                    resume_from=str(tmp_path / "ckpt_00003.npz"))
+    np.testing.assert_allclose(resumed.z, a.z, atol=1e-12)
+    np.testing.assert_allclose(resumed.theta, a.theta, atol=1e-12)
+
+
+def test_chained_dispatch_on_mesh():
+    """Chained dispatch over a 4-device agents mesh (scan body contains the
+    shard_map'd step) must reproduce the per-iteration trajectory on the
+    SAME mesh. (Across device counts the psum reduction order can flip a
+    value at a 4-dp rounding boundary — that looseness is pre-existing and
+    covered by test_consensus; chaining itself must be exact.)"""
+    spec, X, Y, gt = _make_problem(n=40)
+    splits = split_data_numpy(X, Y, 4, "random", random_seed=42)
+    base = dict(rho=100.0, L=100.0, noise_std=0.05, cv_folds=3, seed=42,
+                compute_cond=False, verbose=False, max_iter=5,
+                n_mesh_devices=4)
+
+    a = train(spec, splits, X, Y, TrainConfig(**base))
+    b = train(spec, splits, X, Y, TrainConfig(chain_iters=2, **base))
+    np.testing.assert_array_equal(b.z, a.z)
+    np.testing.assert_array_equal(b.theta, a.theta)
+    np.testing.assert_array_equal(b.psi, a.psi)

@@ -245,3 +245,31 @@ def test_driver_retries_flagged_mixed_iteration():
     np.testing.assert_array_equal(r_mixed.z, r_f64.z)
     np.testing.assert_array_equal(np.asarray(r_mixed.theta),
                                   np.asarray(r_f64.theta))
+
+
+def test_chained_driver_retries_flagged_mixed_iteration():
+    """Same as above but with chained dispatch: a flagged row poisons the
+    rest of its chunk (NaN theta/psi propagate through the scan), so the
+    driver must truncate the chunk at the flagged row, redo it in float64
+    from the pre-row state, and resume chunking from the corrected state."""
+    from dqgp_tpu.driver import train, TrainConfig
+
+    spec, X, Y, splits = _mini_problem()
+    splits_dup = [(np.concatenate([Xi, Xi]), np.concatenate([Yi, Yi]))
+                  for Xi, Yi in splits]
+    X_dup = np.concatenate([s[0] for s in splits_dup])
+    Y_dup = np.concatenate([s[1] for s in splits_dup])
+    base = dict(rho=100.0, L=100.0, max_iter=3, cv_folds=0, seed=42,
+                noise_std=1e-6, verbose=False, run_cv=False,
+                compute_cond=False)
+    r_mixed = train(spec, splits_dup, X_dup, Y_dup,
+                    TrainConfig(gp_dtype="mixed", chain_iters=2, **base))
+    r_f64 = train(spec, splits_dup, X_dup, Y_dup,
+                  TrainConfig(gp_dtype="float64", **base))
+    assert r_mixed.iterations == r_f64.iterations == 3
+    assert np.all(np.isfinite(r_mixed.z))
+    np.testing.assert_array_equal(r_mixed.z, r_f64.z)
+    np.testing.assert_array_equal(np.asarray(r_mixed.theta),
+                                  np.asarray(r_f64.theta))
+    np.testing.assert_array_equal(np.asarray(r_mixed.psi),
+                                  np.asarray(r_f64.psi))
