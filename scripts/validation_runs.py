@@ -58,13 +58,14 @@ CONFIGS = {
 FIDELITY_DIMS = [1, 2, 3, 4, 5, 6]
 
 
-def run_config(name, extra_args, iters):
+def run_config(name, extra_args, iters, chain_iters=1):
     from dqgp_tpu.cli import main as cli_main
 
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
         metrics_path = f.name
     argv = extra_args + [
         "--max-iter", str(iters), "--no-plot", "--quiet",
+        "--chain-iters", str(chain_iters),
         "--metrics-json", metrics_path,
     ]
     t0 = time.time()
@@ -91,6 +92,10 @@ def run_config(name, extra_args, iters):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--chain-iters", type=int, default=1,
+                    help="forwarded to the CLI: ADMM iterations per device "
+                         "dispatch (identical trajectory, less relay "
+                         "overhead)")
     ap.add_argument("--iters", type=int, default=25,
                     help="ADMM iterations per config")
     ap.add_argument("--skip-fidelity", action="store_true")
@@ -100,7 +105,7 @@ def main():
 
     results = {}
     for name, cfg in CONFIGS.items():
-        results[name] = run_config(name, cfg, args.iters)
+        results[name] = run_config(name, cfg, args.iters, args.chain_iters)
 
     if not args.skip_fidelity:
         # BASELINE config #5: 6-qubit kyriienko fidelity kernel, 1-6D
@@ -111,6 +116,7 @@ def main():
                  "--encoding", "kyriienko", "--kernel-type", "fidelity",
                  "--num-qubits", "6", "--num-layers", "1", "--data-seed", "42"],
                 min(args.iters, 10),
+                args.chain_iters,
             )
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

@@ -238,3 +238,26 @@ def test_driver_train_2d_ragged_shards():
               TrainConfig(max_iter=1, verbose=False, compute_cond=False,
                           data_mesh_cols=2))
     assert np.all(np.isfinite(r.z))
+
+
+def test_driver_chained_on_2d_mesh():
+    """Chained dispatch wraps whatever step the driver built — including the
+    agents x data 2-D mesh step; trajectory must match per-iteration
+    dispatch on the same mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dqgp_tpu.driver import TrainConfig, train
+
+    spec = _spec()
+    rng = np.random.RandomState(3)
+    X = rng.uniform(-0.9, 0.9, (96, 2))
+    Y = np.sin(3 * X[:, 0]) + 0.2 * rng.randn(96)
+    splits = split_data_numpy(X, Y, 4, "sequential")
+
+    base = dict(max_iter=4, verbose=False, compute_cond=False,
+                data_mesh_cols=2)
+    a = train(spec, splits, X, Y, TrainConfig(**base))
+    b = train(spec, splits, X, Y, TrainConfig(chain_iters=2, **base))
+    np.testing.assert_array_equal(b.z, a.z)
+    np.testing.assert_array_equal(np.asarray(b.theta), np.asarray(a.theta))
+    np.testing.assert_array_equal(np.asarray(b.psi), np.asarray(a.psi))
