@@ -524,6 +524,11 @@ def main():
         # worth one retry on a slow relay day
         mix_res = _run_mode("admm_mixed", 2400)
     gate_res = _run_mode("parity_gate", 1800)
+    if "error" in gate_res and "timeout" in gate_res["error"]:
+        # a timed-out attempt still warms the relay's compile cache, so a
+        # same-budget retry typically completes in minutes (observed:
+        # smoke 900s-timeout -> 102s pass)
+        gate_res = _run_mode("parity_gate", 1800)
 
     f32_dt = f32_res.get("iter_seconds")
     par_dt = par_res.get("iter_seconds")
