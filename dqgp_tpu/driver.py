@@ -412,15 +412,16 @@ def train(
         if cfg.run_cv:
             try:
                 cv_dtype_iter = cfg.cv_dtype
-                if (fold_scores is not None and cfg.cv_dtype == "mixed"
+                if (fold_scores is not None
                         and not np.all(np.isfinite(fold_scores[0]))):
-                    # the f32-factorized fold solve could not be refined to
-                    # f64 accuracy (cond beyond ~1e7); the reference's f64
-                    # CV would have succeeded — re-score in float64 rather
-                    # than letting the inf penalty skew model selection
-                    # (straight to float64: re-running mixed would flag the
-                    # same folds deterministically)
-                    log("  mixed CV solver flagged fold(s); re-scoring this "
+                    # the vmapped fold program flags failed factorizations
+                    # as NaN instead of compiling an in-program rescue
+                    # (mixed: cond beyond the f32 refinement's ~1e7 reach;
+                    # direct: no eigh-pinv branch under vmap). The
+                    # reference's f64 CV would have rescued/succeeded —
+                    # re-score in float64 with the full fallback chain
+                    # rather than letting the inf penalty skew selection
+                    log("  CV fold solve flagged fold(s); re-scoring this "
                         "iteration's CV in float64")
                     fold_scores = None
                     cv_dtype_iter = "float64"
@@ -558,13 +559,25 @@ def train(
                     idx = [kfold_pad_indices(len(X_cv), cfg.cv_folds,
                                              cfg.seed + it + 1 + j)
                            for j in range(chain_k)]
+                    t_idx = time.time()
                     stacked = [jnp.stack([ix[c] for ix in idx])
                                for c in range(4)]
+                    for s in stacked:
+                        s.block_until_ready()
+                    t_up = time.time()
                     th_n, ps_n, rows_dev = chained_step(theta, psi, batch,
                                                         Xtr_j, Ytr_j, *stacked)
                 else:
+                    t_idx = t_up = time.time()
                     th_n, ps_n, rows_dev = chained_step(theta, psi, batch)
+                t_disp = time.time()
                 rows = np.asarray(rows_dev)  # the chunk's single host fetch
+                if os.environ.get("DQGP_TIMING"):
+                    t_f = time.time()
+                    log(f"  [chunk] idx={t_idx - chunk_start:.3f}s "
+                        f"upload={t_up - t_idx:.3f}s "
+                        f"dispatch={t_disp - t_up:.3f}s "
+                        f"fetch={t_f - t_disp:.3f}s")
             except Exception as e:
                 log(f"  chained dispatch failed ({e}); falling back to "
                     f"per-iteration dispatch")

@@ -71,6 +71,7 @@ def cv_fold_scores_impl(
     noise_std: float = 0.1,
     jitter: float = 1e-6,
     cv_dtype: str = "float64",
+    rescue: bool = False,
 ):
     """Per-fold (nlpd, r2, rmse) — traceable body; jit via ``_cv_fold_scores``
     or fuse into a larger program (the driver fuses it into the ADMM step so
@@ -78,11 +79,19 @@ def cv_fold_scores_impl(
 
     cv_dtype "mixed" = f64 fold numerics through ``solve_psd_mixed`` (f32
     factorization + f64 refinement): f64-grade NLPD at near-f32 fold cost on
-    emulated-f64 TPU backends."""
+    emulated-f64 TPU backends.
+
+    The fold body is vmapped, so the default solvers are the "-flag"
+    variants: a failed factorization yields NaN scores instead of compiling
+    an eigh-pinv rescue that vmap's cond->select lowering would execute on
+    every call. ``rescue=True`` (host-side re-score of flagged folds only)
+    restores the full in-program fallback chain — the reference's predict
+    path rescues a failed Cholesky with an explicit inverse
+    (main.py:1476-1482), so a flagged fold must be re-scored, not penalized."""
     F = kernel_features(spec, X, theta)  # once per consensus vector
-    solver = "direct"
+    solver = "direct" if rescue else "direct-flag"
     if cv_dtype == "mixed":
-        cv_dtype, solver = "float64", "mixed-flag"
+        cv_dtype, solver = "float64", ("mixed" if rescue else "mixed-flag")
     if cv_dtype == "float64" and not jax.config.jax_enable_x64:
         cv_dtype = "float32"
     dtype = jnp.dtype(cv_dtype)
@@ -95,7 +104,7 @@ def cv_fold_scores_impl(
     # emulated-f64 outer-kernel matmuls/exponentials would otherwise
     # dominate the fused step+CV program (the .astype(dtype) below still
     # hands f64 Grams to the solve).
-    if dtype == jnp.float64 and solver == "direct":
+    if dtype == jnp.float64 and solver.startswith("direct"):
         if spec.kernel_type == "fidelity":
             from ... import config as _config
 
@@ -139,7 +148,8 @@ def cv_fold_scores_impl(
 
 
 _cv_fold_scores = partial(jax.jit, static_argnums=(0,),
-                          static_argnames=("noise_std", "jitter", "cv_dtype"))(
+                          static_argnames=("noise_std", "jitter", "cv_dtype",
+                                           "rescue"))(
     cv_fold_scores_impl
 )
 
@@ -199,11 +209,14 @@ def k_fold_cross_validation_consensus(
     (main.py:1564-1596): failed folds (non-finite) score +inf, and the run is
     valid only if at least k//2 folds succeed.
 
-    With cv_dtype="mixed", a fold can go non-finite merely because its f32
-    factorization could not be refined to f64 accuracy (cond beyond ~1e7 —
-    well inside the reach of the reference's f64 LAPACK). Such folds are
-    re-scored through the float64 path so the +inf penalty is reserved for
-    folds the reference itself would fail on."""
+    The vmapped fold program flags failed factorizations as NaN instead of
+    compiling an in-program rescue (see ``cv_fold_scores_impl``). A flagged
+    fold is not necessarily one the reference would fail on — mixed: cond
+    beyond the f32 factorization's ~1e7 reach but well inside f64 LAPACK's;
+    direct: the reference's predict path rescues a failed Cholesky with an
+    explicit inverse (main.py:1476-1482). So any non-finite fold triggers a
+    float64 re-score with the full fallback chain (``rescue=True``); the
+    +inf penalty is reserved for folds the reference itself would fail on."""
     n = int(np.asarray(X_train).shape[0])
     tr_i, tr_m, va_i, va_m = kfold_pad_indices(n, k_folds, random_seed)
     args = (
@@ -215,6 +228,7 @@ def k_fold_cross_validation_consensus(
     )
     kw = dict(noise_std=float(noise_std), jitter=float(jitter))
     nlpds, r2s, rmses = _cv_fold_scores(*args, cv_dtype=cv_dtype, **kw)
-    if cv_dtype == "mixed" and not np.all(np.isfinite(np.asarray(nlpds))):
-        nlpds, r2s, rmses = _cv_fold_scores(*args, cv_dtype="float64", **kw)
+    if not np.all(np.isfinite(np.asarray(nlpds))):
+        nlpds, r2s, rmses = _cv_fold_scores(*args, cv_dtype="float64",
+                                            rescue=True, **kw)
     return aggregate_cv_scores(nlpds, r2s, rmses, k_folds)

@@ -157,46 +157,44 @@ def gp_posterior_from_grams(
     y = y_train * m
     K_st = K_st * m[None, :]
 
-    if solver.startswith("mixed") and dtype == jnp.float64:
-        # Mixed: materialize the Newton-Schulz-polished inverse (one batched
-        # triangular pass + MXU f64 matmuls) so the mean is a single matvec
-        # X y — no sequential refinement chain. The variance keeps the f32
-        # triangular form v = L^{-1} K*^T (one batched pass): its O(1)
-        # intermediates give ~1e-7 accuracy, where the inverse-based
-        # quadratic's O(1/noise^2) intermediates cancel to only ~1e-4.
-        from jax.scipy.linalg import solve_triangular
-
-        res = get_psd_solver(solver)(C, y, need_inverse=True)
-        mean = K_st @ res.C_inv_y
-        vdt = contraction_dtype(solver, dtype)
-
-        def chol_var_m(_):
-            v = solve_triangular(res.L.astype(vdt), K_st.T.astype(vdt), lower=True)
-            return K_ss_diag - jnp.sum(v * v, axis=0).astype(dtype)
-
-        def inv_var_m(_):
-            # rescue path (res.L is a placeholder there) — C_inv is real
-            return K_ss_diag - jnp.sum((K_st @ res.C_inv) * K_st, axis=1)
-
-        var = jax.lax.cond(res.chol_ok, chol_var_m, inv_var_m, None)
-        return mean, jnp.maximum(var, 1e-10), res.chol_ok
-
     # C^{-1} is only materialized on the (rare) fallback path — the Cholesky
-    # path uses L directly for mean and variance.
+    # path uses L directly for mean and variance. NOTE: need_inverse stays
+    # False for the mixed solver too. Deriving the mean from the
+    # Newton-Schulz-polished inverse (need_inverse=True) was tried: it
+    # removes the sequential refinement chain, but its two f64 (N, N) matmul
+    # rounds are ~0.1 s of emulated-f64 device work per 5-fold CV pass —
+    # with the fused per-iteration CV that quietly became the training
+    # iteration's dominant device cost (measured 0.133 s/iter wall with it,
+    # 0.02 s/iter without under chained dispatch). The refinement mean is
+    # vector-shaped (O(N^2) per solve) and costs ~nothing on device.
     res = get_psd_solver(solver)(C, y, need_inverse=False)
     mean = K_st @ res.C_inv_y
     # var = diag(K_**) - sum(v^2), v = L^{-1} K_st^T on the Cholesky path;
     # on the fallback path use the explicit inverse (main.py:1476-1482).
     from jax.scipy.linalg import solve_triangular
 
+    # With the mixed solver, run the variance triangular solve in f32 (L is
+    # an f32-accurate factor anyway; an emulated-f64 triangular solve would
+    # give the direct path's cost right back). Predictive variances are O(1)
+    # magnitudes clamped at 1e-10 — f32 roundoff is immaterial.
+    vdt = contraction_dtype(solver, dtype)
+
     def chol_var(_):
-        v = solve_triangular(res.L, K_st.T, lower=True)
-        return K_ss_diag - jnp.sum(v * v, axis=0)
+        v = solve_triangular(res.L.astype(vdt), K_st.T.astype(vdt), lower=True)
+        return K_ss_diag - jnp.sum(v * v, axis=0).astype(dtype)
 
     def inv_var(_):
         return K_ss_diag - jnp.sum((K_st @ res.C_inv) * K_st, axis=1)
 
-    var = jax.lax.cond(res.chol_ok, chol_var, inv_var, None)
+    if solver.endswith("-flag"):
+        # Flag solvers (vmapped callers) have no in-program rescue: on
+        # failure C_inv_y is already NaN (the mean, hence the fold score,
+        # propagates it), so the inverse-based variance branch — whose
+        # matmul would execute unconditionally under vmap's cond->select
+        # lowering — is dead weight; take the triangular form directly.
+        var = chol_var(None)
+    else:
+        var = jax.lax.cond(res.chol_ok, chol_var, inv_var, None)
     var = jnp.maximum(var, 1e-10)
     return mean, var, res.chol_ok
 

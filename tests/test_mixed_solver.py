@@ -144,11 +144,11 @@ def test_cv_mixed_matches_float64():
                                           random_seed=42, cv_dtype="float64")
     b = k_fold_cross_validation_consensus(spec, X, Y, theta, 0.1, k_folds=3,
                                           random_seed=42, cv_dtype="mixed")
-    # mixed builds fold Grams in f32 and computes the predictive variance
-    # through the f32-contracted polished inverse -> ~1e-4 NLPD noise, far
-    # below anything selection-relevant (iteration-to-iteration CV-NLPD
-    # moves are O(0.01-10), and z rounds to 4dp); bench.py's parity gate
-    # bounds the same deviation at 0.05
+    # mixed builds fold Grams in f32 and runs the predictive-variance
+    # triangular solve in f32 -> ~1e-4 NLPD noise, far below anything
+    # selection-relevant (iteration-to-iteration CV-NLPD moves are
+    # O(0.01-10), and z rounds to 4dp); bench.py's parity gate bounds the
+    # same deviation at 0.05
     assert abs(a["mean_nlpd"] - b["mean_nlpd"]) < 1e-3
     assert abs(a["mean_r2"] - b["mean_r2"]) < 1e-3
 
@@ -183,7 +183,11 @@ def test_cv_mixed_rescores_flagged_folds_in_float64():
                                           cv_dtype="mixed", **kw)
     assert np.isfinite(a["mean_nlpd"])
     assert np.isfinite(b["mean_nlpd"])
-    np.testing.assert_allclose(b["mean_nlpd"], a["mean_nlpd"], rtol=1e-8)
+    # a's flagged folds and b's re-score both run f64, but through different
+    # compiled programs (a: plain float64 rescore; b: rescue=True full
+    # fallback chain) whose fusion orders differ -> f64-roundoff-level
+    # disagreement, not exact equality
+    np.testing.assert_allclose(b["mean_nlpd"], a["mean_nlpd"], rtol=1e-6)
 
 
 def test_2d_mesh_mixed_matches_float64():
