@@ -331,6 +331,7 @@ def train(
             aggregate_cv_scores,
             cv_fold_scores_impl,
             kfold_pad_indices,
+            kfold_pad_indices_np,
         )
 
         if cfg.cv_max_samples and len(X_train) > cfg.cv_max_samples:
@@ -522,20 +523,41 @@ def train(
     chained_step = None
     if chain_k > 1:
         if cfg.run_cv and step_with_cv is not None:
+            # Fold indices/masks for the whole chunk travel as ONE int32
+            # buffer (each host->device transfer is a full ~27 ms relay
+            # round trip; 4 per-array uploads measured 0.15 s per chunk).
+            # Shapes are static per (n, k_folds): probe once.
+            _pi = kfold_pad_indices_np(len(X_cv), cfg.cv_folds, 0)
+            _kf, _tm = _pi[0].shape
+            _vm = _pi[2].shape[1]
+
+            def pack_chunk_indices(start_it):
+                flat = [
+                    np.concatenate([a.ravel() for a in kfold_pad_indices_np(
+                        len(X_cv), cfg.cv_folds, cfg.seed + start_it + 1 + j)])
+                    for j in range(chain_k)
+                ]
+                return jnp.asarray(np.stack(flat))  # (chain_k, total) int32
+
             @jax.jit
-            def chained_step(theta, psi, batch, X_tr, Y_tr,
-                             tr_i, tr_m, va_i, va_m):
+            def chained_step(theta, psi, batch, X_tr, Y_tr, idx_packed):
                 def body(carry, xs):
                     th, ps = carry
                     out = step(th, ps, batch)
+                    o1 = _kf * _tm
+                    o2, o3 = 2 * o1, 2 * o1 + _kf * _vm
                     scores = cv_fold_scores_impl(
-                        spec, X_tr, Y_tr, out.z, *xs,
+                        spec, X_tr, Y_tr, out.z,
+                        xs[:o1].reshape(_kf, _tm),
+                        xs[o1:o2].reshape(_kf, _tm),
+                        xs[o2:o3].reshape(_kf, _vm),
+                        xs[o3:].reshape(_kf, _vm),
                         noise_std=float(cfg.noise_std), cv_dtype=cfg.cv_dtype,
                     )
                     return (out.theta, out.psi), _pack(out, scores,
                                                        with_state=True)
                 (th_f, ps_f), rows = jax.lax.scan(
-                    body, (theta, psi), (tr_i, tr_m, va_i, va_m))
+                    body, (theta, psi), idx_packed)
                 return th_f, ps_f, rows
         elif not cfg.run_cv:
             @jax.jit
@@ -556,17 +578,12 @@ def train(
             chunk_start = time.time()
             try:
                 if cfg.run_cv:
-                    idx = [kfold_pad_indices(len(X_cv), cfg.cv_folds,
-                                             cfg.seed + it + 1 + j)
-                           for j in range(chain_k)]
                     t_idx = time.time()
-                    stacked = [jnp.stack([ix[c] for ix in idx])
-                               for c in range(4)]
-                    for s in stacked:
-                        s.block_until_ready()
+                    idx_packed = pack_chunk_indices(it)  # ONE upload
                     t_up = time.time()
                     th_n, ps_n, rows_dev = chained_step(theta, psi, batch,
-                                                        Xtr_j, Ytr_j, *stacked)
+                                                        Xtr_j, Ytr_j,
+                                                        idx_packed)
                 else:
                     t_idx = t_up = time.time()
                     th_n, ps_n, rows_dev = chained_step(theta, psi, batch)

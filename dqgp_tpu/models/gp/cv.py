@@ -30,12 +30,14 @@ from .metrics import _LOG_2PI, outer_diag
 from .posterior import gp_posterior_from_grams
 
 
-def kfold_pad_indices(n: int, k: int, seed: int):
-    """sklearn-compatible shuffled k-fold indices, padded to static shapes.
+def kfold_pad_indices_np(n: int, k: int, seed: int):
+    """sklearn-compatible shuffled k-fold indices, padded to static shapes —
+    host-side (numpy int32) form.
 
     Returns (train_idx, train_mask, val_idx, val_mask) with shapes
-    (k, t_max) / (k, v_max); padding uses index 0 with mask 0.
-    """
+    (k, t_max) / (k, v_max); padding uses index 0 with mask 0. Masks are
+    int32 0/1 — every consumer casts them to its working dtype
+    (``cv_fold_scores_impl``'s fold body)."""
     from sklearn.model_selection import KFold
 
     folds = list(KFold(n_splits=k, shuffle=True, random_state=seed).split(np.arange(n)))
@@ -44,19 +46,28 @@ def kfold_pad_indices(n: int, k: int, seed: int):
 
     def pad(idx, size):
         out = np.zeros((size,), np.int32)
-        m = np.zeros((size,), np.float64)
+        m = np.zeros((size,), np.int32)
         out[: len(idx)] = idx
-        m[: len(idx)] = 1.0
+        m[: len(idx)] = 1
         return out, m
 
     tr_i = np.zeros((k, t_max), np.int32)
-    tr_m = np.zeros((k, t_max))
+    tr_m = np.zeros((k, t_max), np.int32)
     va_i = np.zeros((k, v_max), np.int32)
-    va_m = np.zeros((k, v_max))
+    va_m = np.zeros((k, v_max), np.int32)
     for f, (tr, va) in enumerate(folds):
         tr_i[f], tr_m[f] = pad(tr, t_max)
         va_i[f], va_m[f] = pad(va, v_max)
-    return jnp.asarray(tr_i), jnp.asarray(tr_m), jnp.asarray(va_i), jnp.asarray(va_m)
+    return tr_i, tr_m, va_i, va_m
+
+
+def kfold_pad_indices(n: int, k: int, seed: int):
+    """Device-array form of :func:`kfold_pad_indices_np` (one transfer per
+    array — per-chunk callers pack the numpy form into a single buffer
+    instead, each host->device transfer being a full relay round trip)."""
+    tr_i, tr_m, va_i, va_m = kfold_pad_indices_np(n, k, seed)
+    return (jnp.asarray(tr_i), jnp.asarray(tr_m.astype(np.float64)),
+            jnp.asarray(va_i), jnp.asarray(va_m.astype(np.float64)))
 
 
 def cv_fold_scores_impl(
