@@ -251,15 +251,23 @@ def _admm_step_time(mode: str):
     batch = make_agent_batch(splits)
     theta0, psi0, _ = init_admm_state(N_AGENTS, spec.num_parameters, 42, RHO)
     theta0, psi0 = jnp.asarray(theta0), jnp.asarray(psi0)
-    if mode == "parity":          # reference defaults: direct f64 + cond + rescue
+    # compute_cond=False in every mode: the driver's default cond_mode
+    # ("auto" -> "host" on accelerators) keeps condition numbers OUT of the
+    # device program — they backfill from an exact f64 eigvalsh on the CPU
+    # backend after training. (An earlier version passed compute_cond=True
+    # here, but the chain body below only carried theta/psi, so XLA
+    # dead-code-eliminated the cond computation and the numbers silently
+    # measured a cond-free step anyway — the in-program f64 cond path
+    # actually costs ~118 ms/iter at this shape, 12x the rest of the step.)
+    if mode == "parity":          # reference defaults: direct f64 + rescue
         step = make_admm_step(
             spec, None, rho=RHO, L=L_CONST, noise_std=NOISE_STD,
-            compute_cond=True, psd_fallback=True, gp_dtype="float64",
+            compute_cond=False, psd_fallback=True, gp_dtype="float64",
         )
     elif mode == "mixed":         # f64-grade accuracy, f32 factorization
         step = make_admm_step(
             spec, None, rho=RHO, L=L_CONST, noise_std=NOISE_STD,
-            compute_cond=True, psd_fallback=True, gp_dtype="mixed",
+            compute_cond=False, psd_fallback=True, gp_dtype="mixed",
         )
     else:                         # raw f32 fast path
         step = make_admm_step(
@@ -270,12 +278,21 @@ def _admm_step_time(mode: str):
     def make_k_program(k):
         @jax.jit
         def f(theta, psi):
+            # accumulate everything the driver's _pack fetches per iteration
+            # (z, NLL + components, consensus norms ride on theta) so no
+            # step output is dead code under the chain
             def body(i, carry):
-                th, ps = carry
+                th, ps, acc = carry
                 out = step(th, ps, batch)
-                return (out.theta.astype(th.dtype), out.psi.astype(ps.dtype))
-            th, ps = jax.lax.fori_loop(0, k, body, (theta, psi))
-            return jnp.sum(th) + jnp.sum(ps)
+                acc = acc + (jnp.sum(out.z) + jnp.sum(out.nll)
+                             + jnp.sum(out.log_det_term)
+                             + jnp.sum(out.quadratic_term)
+                             + jnp.sum(out.constant_term)).astype(acc.dtype)
+                return (out.theta.astype(th.dtype), out.psi.astype(ps.dtype),
+                        acc)
+            th, ps, acc = jax.lax.fori_loop(
+                0, k, body, (theta, psi, jnp.float32(0.0)))
+            return jnp.sum(th) + jnp.sum(ps) + acc
         return lambda: f(theta0, psi0)
 
     # start each mode's chains long enough that the two-point delta clears

@@ -111,6 +111,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="skip per-iteration k-fold CV model selection")
     parser.add_argument("--no-cond", action="store_true",
                         help="skip per-iteration SVD condition numbers")
+    parser.add_argument("--cond-mode", type=str, default="auto",
+                        choices=["auto", "device", "host"],
+                        help="where condition numbers compute: 'device' "
+                             "fuses them into the step program; 'host' "
+                             "backfills exact f64 eigvalsh values from the "
+                             "CPU backend (zero accelerator time — the "
+                             "in-program f64 path dominates the fused step "
+                             "on emulated-f64 TPU). auto = host on "
+                             "accelerators, device on CPU")
     parser.add_argument("--srtm-time-seed", action="store_true",
                         help="reproduce the reference's time-based SRTM seeding "
                              "(main.py:2136-2138); default uses --seed for reproducibility")
@@ -352,6 +361,7 @@ def main(argv=None):
         cv_patience=args.cv_patience, seed=args.seed,
         parity_round=not args.no_parity_round,
         compute_cond=not args.no_cond,
+        cond_mode=args.cond_mode,
         grad_method=args.grad_method,
         gp_dtype=args.gp_dtype,
         cv_dtype=args.cv_dtype,

@@ -47,6 +47,17 @@ class TrainConfig:
     seed: int = 42
     parity_round: bool = True       # 4-decimal quantization (reference quirk)
     compute_cond: bool = True       # per-iteration condition numbers (eigvalsh)
+    cond_mode: str = "auto"         # where the (reporting-only) condition
+                                    # numbers compute: "device" fuses them
+                                    # into the step program; "host" rebuilds
+                                    # each agent's noise-free Gram on the CPU
+                                    # backend and takes an exact f64 eigvalsh
+                                    # — zero accelerator time (the in-program
+                                    # f64 path costs ~118 ms/iter at the
+                                    # north star on emulated-f64 TPU, 12x
+                                    # the rest of the program). "auto" =
+                                    # host on accelerator backends, device
+                                    # on CPU.
     gp_dtype: str = "auto"          # GP linalg dtype: "auto" = float64 on
                                     # CPU/GPU, "mixed" on TPU (f64-grade via
                                     # f32 factor + f64 refinement, ~29x
@@ -62,14 +73,17 @@ class TrainConfig:
     chain_iters: int = 1            # >1: run this many ADMM iterations per
                                     # device dispatch (lax.scan over the
                                     # fused step+CV body). On remote-relay
-                                    # runtimes each dispatch costs ~0.1 s
-                                    # regardless of device time (~3 ms per
-                                    # north-star iteration); chaining
-                                    # amortizes it k-fold. Trajectory and
-                                    # stopping iteration are identical —
-                                    # rows replay through the same host
-                                    # bookkeeping in order and speculative
-                                    # iterations past a stop are discarded.
+                                    # runtimes each dispatch+fetch round
+                                    # costs ~0.03-0.1 s regardless of device
+                                    # time (~10 ms per north-star iteration
+                                    # of step + 5 fused CV folds); chaining
+                                    # amortizes it k-fold (measured
+                                    # 12-14 ms/iter wall at chain 15).
+                                    # Trajectory and stopping iteration are
+                                    # identical — rows replay through the
+                                    # same host bookkeeping in order and
+                                    # speculative iterations past a stop
+                                    # are discarded.
     n_mesh_devices: Optional[int] = None  # None = all local devices
     data_mesh_cols: Optional[int] = None  # >1: agents x data 2-D mesh — each
                                     # agent's Gram panels row-shard over this
@@ -145,6 +159,61 @@ def load_checkpoint(path: str):
     }
 
 
+def host_condition_numbers(
+    spec: QuantumKernelSpec,
+    agent_data_splits: Sequence[Tuple[np.ndarray, np.ndarray]],
+    z_rows: np.ndarray,
+) -> np.ndarray:
+    """Per-agent condition numbers of the noise-free Gram, on the host CPU.
+
+    The reference reports ``np.linalg.cond(C)`` of each agent's noise-free
+    Gram every iteration (agent_riemannian.py:411) — a pure reporting
+    quantity. On emulated-f64 accelerator backends the in-program estimator
+    costs more than the entire rest of the training iteration (f64 Cholesky
+    + explicit inverse, ~118 ms/iter at the north star), so the driver's
+    "host" cond mode rebuilds K(X_i, z) here — same f32 feature pipeline the
+    device used — and takes an exact f64 eigvalsh on the CPU backend, for
+    every recorded iteration at once. Unlike the device path there is no
+    shard padding: each agent's true n_i x n_i Gram is conditioned, exactly
+    as the reference does.
+
+    z_rows: (T, P) consensus/parameter rows. Returns (T, A) float64.
+    """
+    import jax as _jax
+
+    from . import config as _config
+
+    Z_np = np.asarray(z_rows, np.float64).reshape(-1, z_rows.shape[-1]).astype(np.float32)
+    out = np.empty((Z_np.shape[0], len(agent_data_splits)), np.float64)
+    cpu = _jax.devices("cpu")[0]
+    # The Pallas circuit kernel is pallas.tpu code and pallas_enabled() keys
+    # off the process's DEFAULT backend — force the XLA gate-by-gate feature
+    # path while these programs run on the CPU device.
+    saved_pallas = _config.use_pallas
+    _config.use_pallas = "off"
+    try:
+        for a, (X_i, _) in enumerate(agent_data_splits):
+            def cond_batch(Zb, Xa):
+                from .models.kernels.quantum_kernel import gram
+
+                def one(z):
+                    K = gram(spec, Xa, z).astype(jnp.float64)
+                    w = jnp.abs(jnp.linalg.eigvalsh(K))
+                    tiny = jnp.finfo(jnp.float64).tiny
+                    return jnp.max(w) / jnp.maximum(jnp.min(w), tiny)
+
+                return _jax.vmap(one)(Zb)
+
+            with _jax.default_device(cpu):
+                out[:, a] = np.asarray(_jax.jit(cond_batch)(
+                    _jax.device_put(jnp.asarray(Z_np), cpu),
+                    _jax.device_put(jnp.asarray(np.asarray(X_i), jnp.float32), cpu),
+                ))
+    finally:
+        _config.use_pallas = saved_pallas
+    return out
+
+
 def train(
     spec: QuantumKernelSpec,
     agent_data_splits: Sequence[Tuple[np.ndarray, np.ndarray]],
@@ -166,6 +235,19 @@ def train(
         gp_dtype=resolve_dtype_mode(cfg.gp_dtype),
         cv_dtype=resolve_dtype_mode(cfg.cv_dtype),
     )
+
+    # Where do the (reporting-only) per-iteration condition numbers compute?
+    # "host" drops them from the device program entirely (the f64 Cholesky +
+    # explicit inverse they need is the single most expensive thing in the
+    # fused step on emulated-f64 backends) and backfills exact f64 eigvalsh
+    # values computed on the CPU backend after training.
+    cond_mode = cfg.cond_mode
+    if cond_mode == "auto":
+        cond_mode = "device" if jax.default_backend() == "cpu" else "host"
+    if not cfg.compute_cond:
+        cond_mode = "off"
+    step_cond = cond_mode == "device"
+    cond_pending: List[Tuple[int, np.ndarray]] = []  # (history idx, z_row)
 
     # --- mesh + data residency -------------------------------------------
     devs = jax.devices()
@@ -214,7 +296,7 @@ def train(
             spec, mesh2d,
             rho=cfg.rho, L=cfg.L, noise_std=cfg.noise_std,
             shift_value=cfg.shift_value, parity_round=cfg.parity_round,
-            compute_cond=cfg.compute_cond,
+            compute_cond=step_cond,
             gp_dtype=cfg.gp_dtype, psd_fallback=cfg.psd_fallback,
         )
     else:
@@ -222,7 +304,7 @@ def train(
             spec, mesh,
             rho=cfg.rho, L=cfg.L, noise_std=cfg.noise_std,
             shift_value=cfg.shift_value, parity_round=cfg.parity_round,
-            compute_cond=cfg.compute_cond,
+            compute_cond=step_cond,
             gp_dtype=cfg.gp_dtype, psd_fallback=cfg.psd_fallback,
             grad_method=cfg.grad_method,
         )
@@ -277,7 +359,7 @@ def train(
             kw = dict(rho=cfg.rho, L=cfg.L, noise_std=cfg.noise_std,
                       shift_value=cfg.shift_value,
                       parity_round=cfg.parity_round,
-                      compute_cond=cfg.compute_cond,
+                      compute_cond=step_cond,
                       gp_dtype="float64", psd_fallback=cfg.psd_fallback)
             if mesh2d is not None:
                 from .parallel import make_admm_step_2d as _mk2d
@@ -389,6 +471,14 @@ def train(
         nonlocal z_best_gt, error_best
 
         theta_z_norms, nll, conds, lds, quads, consts = sec
+        if cond_mode == "host":
+            if cfg.verbose and cfg.verbose_agents:
+                # debug path: compute this row's conds synchronously so the
+                # per-agent report below can print them live
+                conds = host_condition_numbers(
+                    spec, agent_data_splits, np.asarray(z_row)[None, :])[0]
+            else:
+                cond_pending.append((len(nll_history), np.asarray(z_row)))
         valid = nll[np.isfinite(nll)]
         nll_history.append({
             "iteration": it,
@@ -695,6 +785,18 @@ def train(
     total_time = time.time() - t0
     log(f"ADMM done ({converged_by}) after {it} iterations in {total_time:.2f}s "
         f"({total_time / max(it - start_iter, 1):.3f}s/iter)")
+
+    if cond_pending:
+        # host cond mode: one batched CPU-backend pass over every recorded
+        # iteration, then backfill the history rows (reporting-only values;
+        # nothing in the training control flow reads them)
+        t_cond = time.time()
+        rows = np.stack([z for _, z in cond_pending])
+        conds_all = host_condition_numbers(spec, agent_data_splits, rows)
+        for (hist_idx, _), crow in zip(cond_pending, conds_all):
+            nll_history[hist_idx]["condition_numbers"] = crow.tolist()
+        log(f"condition numbers (host, exact f64) for {len(cond_pending)} "
+            f"iterations in {time.time() - t_cond:.2f}s")
 
     return TrainResult(
         z=np.asarray(z),

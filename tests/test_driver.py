@@ -205,3 +205,29 @@ def test_chained_dispatch_on_mesh():
     np.testing.assert_array_equal(b.z, a.z)
     np.testing.assert_array_equal(b.theta, a.theta)
     np.testing.assert_array_equal(b.psi, a.psi)
+
+
+def test_host_cond_mode_matches_device():
+    """cond_mode="host" backfills exact f64 eigvalsh condition numbers that
+    match the in-program (device) values. Equal-size shards make the device
+    path's diag-mean padding inert so both condition identical Grams."""
+    spec, X, Y, gt = _make_problem()
+    splits = split_data_numpy(X[:40], Y[:40], 4, "sequential")
+    assert len({len(x) for x, _ in splits}) == 1  # equal shards, no padding
+
+    base = dict(rho=100.0, L=100.0, noise_std=0.05, max_iter=3, cv_folds=3,
+                seed=42, verbose=False)
+    res_dev = train(spec, splits, X[:40], Y[:40],
+                    TrainConfig(cond_mode="device", **base))
+    res_host = train(spec, splits, X[:40], Y[:40],
+                     TrainConfig(cond_mode="host", **base))
+
+    for h_dev, h_host in zip(res_dev.nll_history, res_host.nll_history):
+        c_dev = np.asarray(h_dev["condition_numbers"])
+        c_host = np.asarray(h_host["condition_numbers"])
+        assert np.all(np.isfinite(c_host))
+        # entries of K are f32-accurate; lambda_min (hence cond) moves by
+        # ~cond * eps_f32 between the two construction orders
+        assert np.allclose(c_host, c_dev, rtol=0.02), (c_dev, c_host)
+    # trajectories must be identical: cond is reporting-only
+    assert np.array_equal(res_dev.z, res_host.z)
