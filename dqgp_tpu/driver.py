@@ -412,7 +412,6 @@ def train(
         from .models.gp.cv import (
             aggregate_cv_scores,
             cv_fold_scores_impl,
-            kfold_pad_indices,
             kfold_pad_indices_np,
         )
 
@@ -430,14 +429,43 @@ def train(
         Xtr_j = jnp.asarray(X_cv)
         Ytr_j = jnp.asarray(Y_cv)
 
-        @jax.jit
-        def step_with_cv(theta, psi, batch, X_tr, Y_tr, tr_i, tr_m, va_i, va_m):
-            out = base_step(theta, psi, batch)
-            scores = cv_fold_scores_impl(
-                spec, X_tr, Y_tr, out.z, tr_i, tr_m, va_i, va_m,
-                noise_std=float(cfg.noise_std), cv_dtype=cfg.cv_dtype,
-            )
-            return out, _pack(out, scores)
+        # Fold indices/masks travel as ONE int32 buffer per upload (each
+        # host->device transfer is a full relay round trip); shapes are
+        # static per (n, k_folds), so probe once and reshape inside jit.
+        # An infeasible fold config (k > n) disables fusion here and
+        # surfaces per-iteration through the un-fused CV path's penalty
+        # handling, like the reference's failed folds (main.py:2705-2716).
+        try:
+            _pi0 = kfold_pad_indices_np(len(X_cv), cfg.cv_folds, 0)
+        except ValueError as e:
+            log(f"fold construction infeasible ({e}); CV runs un-fused")
+            _pi0 = None
+        _kf = _tm = _vm = _o1 = _o2 = _o3 = 0
+        if _pi0 is not None:
+            _kf, _tm = _pi0[0].shape
+            _vm = _pi0[2].shape[1]
+            _o1 = _kf * _tm
+            _o2, _o3 = 2 * _o1, 2 * _o1 + _kf * _vm
+
+        def pack_idx_np(seed):
+            return np.concatenate([
+                a.ravel()
+                for a in kfold_pad_indices_np(len(X_cv), cfg.cv_folds, seed)
+            ])
+
+        def _unflatten_idx(xs):
+            return (xs[:_o1].reshape(_kf, _tm), xs[_o1:_o2].reshape(_kf, _tm),
+                    xs[_o2:_o3].reshape(_kf, _vm), xs[_o3:].reshape(_kf, _vm))
+
+        if _pi0 is not None:
+            @jax.jit
+            def step_with_cv(theta, psi, batch, X_tr, Y_tr, idx_packed):
+                out = base_step(theta, psi, batch)
+                scores = cv_fold_scores_impl(
+                    spec, X_tr, Y_tr, out.z, *_unflatten_idx(idx_packed),
+                    noise_std=float(cfg.noise_std), cv_dtype=cfg.cv_dtype,
+                )
+                return out, _pack(out, scores)
 
     @jax.jit
     def step_packed(theta, psi, batch):
@@ -616,17 +644,9 @@ def train(
             # Fold indices/masks for the whole chunk travel as ONE int32
             # buffer (each host->device transfer is a full ~27 ms relay
             # round trip; 4 per-array uploads measured 0.15 s per chunk).
-            # Shapes are static per (n, k_folds): probe once.
-            _pi = kfold_pad_indices_np(len(X_cv), cfg.cv_folds, 0)
-            _kf, _tm = _pi[0].shape
-            _vm = _pi[2].shape[1]
-
             def pack_chunk_indices(start_it):
-                flat = [
-                    np.concatenate([a.ravel() for a in kfold_pad_indices_np(
-                        len(X_cv), cfg.cv_folds, cfg.seed + start_it + 1 + j)])
-                    for j in range(chain_k)
-                ]
+                flat = [pack_idx_np(cfg.seed + start_it + 1 + j)
+                        for j in range(chain_k)]
                 return jnp.asarray(np.stack(flat))  # (chain_k, total) int32
 
             @jax.jit
@@ -634,14 +654,8 @@ def train(
                 def body(carry, xs):
                     th, ps = carry
                     out = step(th, ps, batch)
-                    o1 = _kf * _tm
-                    o2, o3 = 2 * o1, 2 * o1 + _kf * _vm
                     scores = cv_fold_scores_impl(
-                        spec, X_tr, Y_tr, out.z,
-                        xs[:o1].reshape(_kf, _tm),
-                        xs[o1:o2].reshape(_kf, _tm),
-                        xs[o2:o3].reshape(_kf, _vm),
-                        xs[o3:].reshape(_kf, _vm),
+                        spec, X_tr, Y_tr, out.z, *_unflatten_idx(xs),
                         noise_std=float(cfg.noise_std), cv_dtype=cfg.cv_dtype,
                     )
                     return (out.theta, out.psi), _pack(out, scores,
@@ -742,10 +756,10 @@ def train(
 
         if step_with_cv is not None:
             try:
-                idx = kfold_pad_indices(len(X_cv), cfg.cv_folds,
-                                        cfg.seed + it)  # seed+iter (main.py:2665)
+                # seed+iter (main.py:2665); ONE packed index upload
+                idx = jnp.asarray(pack_idx_np(cfg.seed + it))
                 out, packed = step_with_cv(theta, psi, batch,
-                                           Xtr_j, Ytr_j, *idx)
+                                           Xtr_j, Ytr_j, idx)
                 # ONE host fetch per training iteration (see _pack above);
                 # inside the try because async runtime failures (e.g. OOM
                 # executing the compiled fused program) surface at the
