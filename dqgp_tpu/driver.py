@@ -193,25 +193,34 @@ def host_condition_numbers(
     _config.use_pallas = "off"
     try:
         for a, (X_i, _) in enumerate(agent_data_splits):
-            def cond_batch(Zb, Xa):
-                from .models.kernels.quantum_kernel import gram
-
-                def one(z):
-                    K = gram(spec, Xa, z).astype(jnp.float64)
-                    w = jnp.abs(jnp.linalg.eigvalsh(K))
-                    tiny = jnp.finfo(jnp.float64).tiny
-                    return jnp.max(w) / jnp.maximum(jnp.min(w), tiny)
-
-                return _jax.vmap(one)(Zb)
-
             with _jax.default_device(cpu):
-                out[:, a] = np.asarray(_jax.jit(cond_batch)(
+                out[:, a] = np.asarray(_host_cond_batch(
+                    spec,
                     _jax.device_put(jnp.asarray(Z_np), cpu),
                     _jax.device_put(jnp.asarray(np.asarray(X_i), jnp.float32), cpu),
                 ))
     finally:
         _config.use_pallas = saved_pallas
     return out
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=0)
+def _host_cond_batch(spec, Zb, Xa):
+    """vmapped f64 cond of K(Xa, z) over parameter rows Zb — module-level so
+    the jit cache persists across calls (keyed on spec + shapes; the CPU
+    compile of this program is ~10 s and must not be re-paid per call)."""
+    from .models.kernels.quantum_kernel import gram
+
+    def one(z):
+        K = gram(spec, Xa, z).astype(jnp.float64)
+        w = jnp.abs(jnp.linalg.eigvalsh(K))
+        tiny = jnp.finfo(jnp.float64).tiny
+        return jnp.max(w) / jnp.maximum(jnp.min(w), tiny)
+
+    return jax.vmap(one)(Zb)
 
 
 def train(
