@@ -13,7 +13,9 @@ would measure Python enqueue rates, not hardware):
 
 * ``admm_iters_per_sec``        — f32-fast ADMM step (headline).
 * ``admm_iters_per_sec_parity`` — reference defaults (direct f64 GP,
-  condition numbers, Cholesky-failure fallback).
+  Cholesky-failure fallback). Condition numbers are excluded from EVERY
+  timed mode (compute_cond=False): they are reporting-only and the
+  production default computes them off-device after training.
 * ``admm_iters_per_sec_mixed``  — same features and f64-grade results via
   the mixed-precision solver (f32 factorization + f64 refinement,
   ops/linalg.solve_psd_mixed) — the recommended TPU mode.

@@ -17,6 +17,7 @@ import dataclasses
 import json
 import os
 import time
+from functools import partial
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -172,42 +173,51 @@ def host_condition_numbers(
     costs more than the entire rest of the training iteration (f64 Cholesky
     + explicit inverse, ~118 ms/iter at the north star), so the driver's
     "host" cond mode rebuilds K(X_i, z) here — same f32 feature pipeline the
-    device used — and takes an exact f64 eigvalsh on the CPU backend, for
-    every recorded iteration at once. Unlike the device path there is no
-    shard padding: each agent's true n_i x n_i Gram is conditioned, exactly
-    as the reference does.
+    device used — and takes an f64 eigvalsh on the CPU backend, for every
+    recorded iteration at once. Unlike the device path there is no shard
+    padding: each agent's true n_i x n_i Gram is conditioned, as the
+    reference does. The eigvalsh is exact w.r.t. the f32-BUILT Gram (this
+    framework constructs all Gram entries at f32 feature accuracy), so cond
+    readings beyond ~1e7-1e8 reflect construction noise, not the true f64
+    spectrum — identically true of the in-program device estimator.
 
     z_rows: (T, P) consensus/parameter rows. Returns (T, A) float64.
     """
-    import jax as _jax
-
     from . import config as _config
 
     Z_np = np.asarray(z_rows, np.float64).reshape(-1, z_rows.shape[-1]).astype(np.float32)
-    out = np.empty((Z_np.shape[0], len(agent_data_splits)), np.float64)
-    cpu = _jax.devices("cpu")[0]
+    T = Z_np.shape[0]
+    out = np.empty((T, len(agent_data_splits)), np.float64)
+    cpu = jax.devices("cpu")[0]
+    # Chunk the iteration axis: the vmapped program materializes a
+    # (chunk, n_i, n_i) f64 Gram stack per agent — unchunked, a long run on
+    # large shards would allocate gigabytes host-side for a reporting
+    # quantity. The last chunk pads to CHUNK so the jit compiles once.
+    CHUNK = 16
+    T_pad = ((T + CHUNK - 1) // CHUNK) * CHUNK
+    Z_pad = np.zeros((T_pad, Z_np.shape[1]), np.float32)
+    Z_pad[:T] = Z_np
     # The Pallas circuit kernel is pallas.tpu code and pallas_enabled() keys
     # off the process's DEFAULT backend — force the XLA gate-by-gate feature
     # path while these programs run on the CPU device.
     saved_pallas = _config.use_pallas
     _config.use_pallas = "off"
     try:
-        for a, (X_i, _) in enumerate(agent_data_splits):
-            with _jax.default_device(cpu):
-                out[:, a] = np.asarray(_host_cond_batch(
-                    spec,
-                    _jax.device_put(jnp.asarray(Z_np), cpu),
-                    _jax.device_put(jnp.asarray(np.asarray(X_i), jnp.float32), cpu),
-                ))
+        with jax.default_device(cpu):
+            for a, (X_i, _) in enumerate(agent_data_splits):
+                Xa = jax.device_put(jnp.asarray(np.asarray(X_i), jnp.float32), cpu)
+                for s in range(0, T_pad, CHUNK):
+                    Zc = jax.device_put(jnp.asarray(Z_pad[s:s + CHUNK]), cpu)
+                    hi = min(s + CHUNK, T)
+                    if hi > s:
+                        out[s:hi, a] = np.asarray(
+                            _host_cond_batch(spec, Zc, Xa))[: hi - s]
     finally:
         _config.use_pallas = saved_pallas
     return out
 
 
-from functools import partial as _partial
-
-
-@_partial(jax.jit, static_argnums=0)
+@partial(jax.jit, static_argnums=0)
 def _host_cond_batch(spec, Zb, Xa):
     """vmapped f64 cond of K(Xa, z) over parameter rows Zb — module-level so
     the jit cache persists across calls (keyed on spec + shapes; the CPU
@@ -251,6 +261,10 @@ def train(
     # fused step on emulated-f64 backends) and backfills exact f64 eigvalsh
     # values computed on the CPU backend after training.
     cond_mode = cfg.cond_mode
+    if cond_mode not in ("auto", "device", "host"):
+        raise ValueError(
+            f"cond_mode must be 'auto', 'device', or 'host', got {cond_mode!r}"
+        )
     if cond_mode == "auto":
         cond_mode = "device" if jax.default_backend() == "cpu" else "host"
     if not cfg.compute_cond:

@@ -231,3 +231,15 @@ def test_host_cond_mode_matches_device():
         assert np.allclose(c_host, c_dev, rtol=0.02), (c_dev, c_host)
     # trajectories must be identical: cond is reporting-only
     assert np.array_equal(res_dev.z, res_host.z)
+
+
+def test_cond_mode_rejects_unknown_values():
+    """The Python API validates cond_mode eagerly — an unrecognized value
+    must raise, not silently disable condition numbers (CLI has choices=,
+    programmatic callers had no guard)."""
+    spec, X, Y, gt = _make_problem(n=16)
+    splits = split_data_numpy(X, Y, 2, "sequential")
+    with pytest.raises(ValueError, match="cond_mode"):
+        train(spec, splits, X, Y,
+              TrainConfig(max_iter=1, cv_folds=2, verbose=False,
+                          cond_mode="Host"))
