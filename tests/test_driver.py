@@ -233,6 +233,36 @@ def test_host_cond_mode_matches_device():
     assert np.array_equal(res_dev.z, res_host.z)
 
 
+def test_host_cond_chunk_boundary():
+    """host_condition_numbers chunks the iteration axis (CHUNK=16); T=18
+    crosses a chunk boundary and the padded tail rows must not leak into
+    the output. Direct comparison against unchunked per-row f64 conds."""
+    from dqgp_tpu.driver import host_condition_numbers
+    from dqgp_tpu.models.kernels.quantum_kernel import gram
+
+    spec, X, Y, gt = _make_problem(n=24)
+    splits = split_data_numpy(X, Y, 2, "sequential")
+    rng = np.random.RandomState(3)
+    P = spec.circuit.num_parameters
+    Z = rng.uniform(0, np.pi, size=(18, P)).round(4)
+
+    out = host_condition_numbers(spec, splits, Z)
+    assert out.shape == (18, 2)
+    assert np.all(np.isfinite(out))
+
+    for t in (0, 15, 16, 17):  # both sides of the chunk boundary
+        for a, (X_i, _) in enumerate(splits):
+            K = np.asarray(
+                gram(spec, jnp.asarray(X_i, jnp.float32),
+                     jnp.asarray(Z[t], jnp.float32)), np.float64)
+            w = np.abs(np.linalg.eigvalsh(K))
+            expect = w.max() / max(w.min(), np.finfo(np.float64).tiny)
+            # rtol: Gram entries are f32-accurate and the vmapped build
+            # fuses differently from the direct one — cond moves by
+            # ~cond * eps_f32. Row-mix-ups/padding leaks would be >>1%.
+            np.testing.assert_allclose(out[t, a], expect, rtol=1e-2)
+
+
 def test_cond_mode_rejects_unknown_values():
     """The Python API validates cond_mode eagerly — an unrecognized value
     must raise, not silently disable condition numbers (CLI has choices=,
