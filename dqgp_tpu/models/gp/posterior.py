@@ -21,7 +21,6 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ...ops.linalg import (
     condition_number,
@@ -31,7 +30,6 @@ from ...ops.linalg import (
 )
 from ..kernels.quantum_kernel import (
     QuantumKernelSpec,
-    gram,
     kernel_features,
     gram_from_features,
 )

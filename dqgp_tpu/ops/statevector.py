@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .circuit import (
-    CRX, CRY, CRZ, CX, CZ, ENC_ARCCOS, ENC_ID, ENC_NONE, H, RX, RY, RZ, RZZ,
+    CRX, CRY, CRZ, CX, CZ, ENC_ARCCOS, H, RX, RY, RZ, RZZ,
     Circuit, Gate,
 )
 

@@ -26,7 +26,6 @@ from typing import Callable, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models.gp.metrics import outer_diag
 from ..models.kernels.quantum_kernel import QuantumKernelSpec, gram_from_features

@@ -11,7 +11,6 @@ from dqgp_tpu.models.circuits import build_circuit
 from dqgp_tpu.models.gp.posterior import masked_nll_and_grad
 from dqgp_tpu.models.kernels import QuantumKernelSpec, gram_and_shift_grads
 from dqgp_tpu.parallel import (
-    AgentBatch,
     agents_mesh,
     make_admm_step,
     make_agent_batch,

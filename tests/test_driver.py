@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import pytest
 
 from dqgp_tpu.data import generate_quantum_gp_data, split_data_numpy
-from dqgp_tpu.driver import TrainConfig, init_admm_state, load_checkpoint, save_checkpoint, train
+from dqgp_tpu.driver import TrainConfig, init_admm_state, load_checkpoint, train
 from dqgp_tpu.models.circuits import build_circuit
 from dqgp_tpu.models.gp import evaluate_predictions, predict_quantum_gp
 from dqgp_tpu.models.kernels import QuantumKernelSpec
