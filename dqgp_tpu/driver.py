@@ -204,14 +204,16 @@ def host_condition_numbers(
     _config.use_pallas = "off"
     try:
         with jax.default_device(cpu):
-            for a, (X_i, _) in enumerate(agent_data_splits):
-                Xa = jax.device_put(jnp.asarray(np.asarray(X_i), jnp.float32), cpu)
-                for s in range(0, T_pad, CHUNK):
-                    Zc = jax.device_put(jnp.asarray(Z_pad[s:s + CHUNK]), cpu)
-                    hi = min(s + CHUNK, T)
-                    if hi > s:
-                        out[s:hi, a] = np.asarray(
-                            _host_cond_batch(spec, Zc, Xa))[: hi - s]
+            Xas = [
+                jax.device_put(jnp.asarray(np.asarray(X_i), jnp.float32), cpu)
+                for X_i, _ in agent_data_splits
+            ]
+            for s in range(0, T_pad, CHUNK):
+                Zc = jax.device_put(jnp.asarray(Z_pad[s:s + CHUNK]), cpu)
+                hi = min(s + CHUNK, T)  # T_pad - T < CHUNK: always > s
+                for a, Xa in enumerate(Xas):
+                    out[s:hi, a] = np.asarray(
+                        _host_cond_batch(spec, Zc, Xa))[: hi - s]
     finally:
         _config.use_pallas = saved_pallas
     return out
@@ -225,7 +227,11 @@ def _host_cond_batch(spec, Zb, Xa):
     from .models.kernels.quantum_kernel import gram
 
     def one(z):
-        K = gram(spec, Xa, z).astype(jnp.float64)
+        # wrap exactly as the device step does (_agent_local wraps z before
+        # building K): with parity rounding a component can be 3.1416 > pi,
+        # and circuit angles are affine in theta, not pi-periodic — the
+        # unwrapped row would condition a materially different Gram
+        K = gram(spec, Xa, M.wrap(z)).astype(jnp.float64)
         w = jnp.abs(jnp.linalg.eigvalsh(K))
         tiny = jnp.finfo(jnp.float64).tiny
         return jnp.max(w) / jnp.maximum(jnp.min(w), tiny)
@@ -529,7 +535,11 @@ def train(
                 conds = host_condition_numbers(
                     spec, agent_data_splits, np.asarray(z_row)[None, :])[0]
             else:
-                cond_pending.append((len(nll_history), np.asarray(z_row)))
+                # copy: z_row may be a view into a packed fetch buffer
+                # (chained mode: the whole chunk) — a view would pin every
+                # fetched buffer in memory until the end-of-run backfill
+                cond_pending.append((len(nll_history),
+                                     np.array(z_row, copy=True)))
         valid = nll[np.isfinite(nll)]
         nll_history.append({
             "iteration": it,
@@ -554,6 +564,7 @@ def train(
         if cfg.run_cv:
             try:
                 cv_dtype_iter = cfg.cv_dtype
+                cv_rescue = False
                 if (fold_scores is not None
                         and not np.all(np.isfinite(fold_scores[0]))):
                     # the vmapped fold program flags failed factorizations
@@ -566,6 +577,10 @@ def train(
                     log("  CV fold solve flagged fold(s); re-scoring this "
                         "iteration's CV in float64")
                     fold_scores = None
+                    # the fused program already ran the f64 direct-flag
+                    # solver and flagged — re-running it would flag again
+                    # deterministically; jump straight to the rescue chain
+                    cv_rescue = cv_dtype_iter == "float64"
                     cv_dtype_iter = "float64"
                 if fold_scores is not None:
                     cv = aggregate_cv_scores(*fold_scores, cfg.cv_folds)
@@ -575,6 +590,7 @@ def train(
                         k_folds=cfg.cv_folds,
                         random_seed=cfg.seed + it,  # per-iter seed (main.py:2665)
                         cv_dtype=cv_dtype_iter,
+                        rescue=cv_rescue,
                     )
                 cv_score = cv["mean_nlpd"]
                 if cv_score < cv_best:

@@ -215,6 +215,7 @@ def k_fold_cross_validation_consensus(
     random_seed: int = 42,
     jitter: float = 1e-6,
     cv_dtype: str = "float64",
+    rescue: bool = False,
 ) -> Dict:
     """Aggregate CV results with the reference's failure semantics
     (main.py:1564-1596): failed folds (non-finite) score +inf, and the run is
@@ -227,7 +228,13 @@ def k_fold_cross_validation_consensus(
     direct: the reference's predict path rescues a failed Cholesky with an
     explicit inverse (main.py:1476-1482). So any non-finite fold triggers a
     float64 re-score with the full fallback chain (``rescue=True``); the
-    +inf penalty is reserved for folds the reference itself would fail on."""
+    +inf penalty is reserved for folds the reference itself would fail on.
+
+    ``rescue=True`` skips the flag pass and scores every fold through the
+    float64 fallback chain directly — for callers that already KNOW a fold
+    flags at this dtype (e.g. the driver re-scoring a flagged fused-f64
+    iteration; re-running the identical direct-flag program would
+    deterministically flag again)."""
     n = int(np.asarray(X_train).shape[0])
     tr_i, tr_m, va_i, va_m = kfold_pad_indices(n, k_folds, random_seed)
     args = (
@@ -238,8 +245,10 @@ def k_fold_cross_validation_consensus(
         tr_i, tr_m, va_i, va_m,
     )
     kw = dict(noise_std=float(noise_std), jitter=float(jitter))
-    nlpds, r2s, rmses = _cv_fold_scores(*args, cv_dtype=cv_dtype, **kw)
-    if not np.all(np.isfinite(np.asarray(nlpds))):
+    nlpds = None
+    if not rescue:
+        nlpds, r2s, rmses = _cv_fold_scores(*args, cv_dtype=cv_dtype, **kw)
+    if nlpds is None or not np.all(np.isfinite(np.asarray(nlpds))):
         nlpds, r2s, rmses = _cv_fold_scores(*args, cv_dtype="float64",
                                             rescue=True, **kw)
     return aggregate_cv_scores(nlpds, r2s, rmses, k_folds)

@@ -245,16 +245,20 @@ def test_host_cond_chunk_boundary():
     rng = np.random.RandomState(3)
     P = spec.circuit.num_parameters
     Z = rng.uniform(0, np.pi, size=(18, P)).round(4)
+    # parity rounding can emit 3.1416 > pi (round4(mod(x, pi)) at the
+    # boundary); the backfill must wrap exactly as the device step does
+    Z[16, 0] = 3.1416
 
     out = host_condition_numbers(spec, splits, Z)
     assert out.shape == (18, 2)
     assert np.all(np.isfinite(out))
 
     for t in (0, 15, 16, 17):  # both sides of the chunk boundary
+        z_wrapped = np.mod(Z[t], np.pi)  # independent re-derivation of wrap
         for a, (X_i, _) in enumerate(splits):
             K = np.asarray(
                 gram(spec, jnp.asarray(X_i, jnp.float32),
-                     jnp.asarray(Z[t], jnp.float32)), np.float64)
+                     jnp.asarray(z_wrapped, jnp.float32)), np.float64)
             w = np.abs(np.linalg.eigvalsh(K))
             expect = w.max() / max(w.min(), np.finfo(np.float64).tiny)
             # rtol: Gram entries are f32-accurate and the vmapped build
