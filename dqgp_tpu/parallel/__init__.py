@@ -4,6 +4,7 @@ from .consensus import (
     agents_mesh,
     make_agent_batch,
     make_admm_step,
+    shard_batch_to_mesh,
 )
 from .training2d import (
     agents_data_mesh,

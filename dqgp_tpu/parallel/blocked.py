@@ -49,6 +49,14 @@ def _pad_rows(F: jax.Array, block: int) -> Tuple[jax.Array, int]:
     return F, n_pad
 
 
+def _k_diag(spec: QuantumKernelSpec, F: jax.Array, dtype) -> jax.Array:
+    """diag(K) from features: fidelity kernels are 1 on the diagonal; outer
+    kernels delegate to ``outer_diag``."""
+    if spec.kernel_type == "fidelity":
+        return jnp.ones((F.shape[0],), dtype)
+    return outer_diag(spec.outer_kernel, F, spec.outer_params).astype(dtype)
+
+
 def gram_matvec(
     spec: QuantumKernelSpec,
     F: jax.Array,            # (N, D) features (rows may be zero-padded)
@@ -138,6 +146,36 @@ def cg_solve(
     return CGResult(x, it, jnp.max(jnp.sqrt(colsum(r * r))[0] / b_norm[0]))
 
 
+def _cg_setup(
+    spec: QuantumKernelSpec,
+    F_train: jax.Array,
+    y_train: jax.Array,
+    sigma2: float,
+    block: int,
+    cg_tol: float,
+    cg_maxiter: int,
+    precond_rank: int,
+    dtype,
+):
+    """Shared per-(F_train) CG state: the matvec closure, the preconditioner
+    (rank-k pivoted-Cholesky/Woodbury, or Jacobi at rank 0), and the alpha
+    solve. Used by ``gp_posterior_large`` and ``make_cg_predictor``."""
+    n = F_train.shape[0]
+    mask = jnp.ones((n,), dtype)
+
+    def A(v):
+        return gram_matvec(spec, F_train, v, mask, block) + sigma2 * v
+
+    if precond_rank > 0:
+        Lp = pivoted_cholesky(spec, F_train, min(precond_rank, n))
+        precond = woodbury_preconditioner(Lp.astype(dtype), sigma2)
+    else:
+        precond = _k_diag(spec, F_train, dtype) + sigma2
+
+    res = cg_solve(A, y_train[:, None].astype(dtype), cg_tol, cg_maxiter, precond)
+    return A, precond, res
+
+
 def gp_posterior_large(
     spec: QuantumKernelSpec,
     F_train: jax.Array,      # (N, D)
@@ -149,6 +187,7 @@ def gp_posterior_large(
     cg_tol: float = 1e-6,
     cg_maxiter: int = 512,
     precond_rank: int = 64,
+    test_chunk: int = 512,
 ) -> Tuple[jax.Array, jax.Array, CGResult]:
     """Posterior mean and variance diagonal at scale, matrix-free.
 
@@ -158,37 +197,29 @@ def gp_posterior_large(
     accuracy is set by cg_tol). ``precond_rank > 0`` uses a rank-k
     pivoted-Cholesky/Woodbury preconditioner (smooth-kernel Grams are
     near-low-rank, so this collapses the CG iteration count); 0 falls back
-    to Jacobi.
+    to Jacobi. Test points are processed ``test_chunk`` at a time so the CG
+    while_loop state stays (N, test_chunk) rather than (N, M).
+
+    Returns (mean, var, res) with ``res`` the alpha solve's CGResult —
+    check ``res.residual_norm <= cg_tol`` before trusting the outputs
+    (a maxiter-capped solve returns without converging).
     """
     _check_no_regularization(spec)
-    n = F_train.shape[0]
     dtype = y_train.dtype
-    mask = jnp.ones((n,), dtype)
     sigma2 = noise_std**2 + jitter
-
-    def A(v):
-        return gram_matvec(spec, F_train, v, mask, block) + sigma2 * v
-
-    def k_diag(F):
-        if spec.kernel_type == "fidelity":
-            return jnp.ones((F.shape[0],), dtype)
-        return outer_diag(spec.outer_kernel, F, spec.outer_params).astype(dtype)
-
-    if precond_rank > 0:
-        Lp = pivoted_cholesky(spec, F_train, min(precond_rank, n))
-        precond = woodbury_preconditioner(Lp.astype(dtype), sigma2)
-    else:
-        precond = k_diag(F_train) + sigma2
-
-    res = cg_solve(A, y_train[:, None].astype(dtype), cg_tol, cg_maxiter, precond)
+    A, precond, res = _cg_setup(spec, F_train, y_train, sigma2, block,
+                                cg_tol, cg_maxiter, precond_rank, dtype)
     alpha = res.x[:, 0]
 
-    K_ts = gram_from_features(spec, F_train, F_test).astype(dtype)  # (N, M)
-    mean = K_ts.T @ alpha
-
-    sol = cg_solve(A, K_ts, cg_tol, cg_maxiter, precond)
-    var = k_diag(F_test) - jnp.sum(K_ts * sol.x, axis=0)
-    return mean, jnp.maximum(var, 1e-10), res
+    means, vars_ = [], []
+    for s in range(0, F_test.shape[0], test_chunk):
+        F_c = F_test[s:s + test_chunk]
+        K_ts = gram_from_features(spec, F_train, F_c).astype(dtype)  # (N, m)
+        means.append(K_ts.T @ alpha)
+        sol = cg_solve(A, K_ts, cg_tol, cg_maxiter, precond)
+        vars_.append(jnp.maximum(
+            _k_diag(spec, F_c, dtype) - jnp.sum(K_ts * sol.x, axis=0), 1e-10))
+    return jnp.concatenate(means), jnp.concatenate(vars_), res
 
 
 # ---------------------------------------------------------------------------
@@ -215,6 +246,10 @@ def make_sharded_posterior(
 
     Inputs to the returned fn: F_train (N, D) and y (N,) sharded along rows,
     row mask (N,) sharded, F_test (M, D) replicated. Outputs replicated.
+
+    ``block`` bounds each device's live Gram tile to (N_local, block): the
+    matvec streams column blocks of the local row panel through a scan
+    (N <= block short-circuits to one dense panel per product).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -224,17 +259,40 @@ def make_sharded_posterior(
     def body(F_local, y_local, m_local, F_test):
         F_full = jax.lax.all_gather(F_local, data_axis, tiled=True)
         m_full = jax.lax.all_gather(m_local, data_axis, tiled=True)
+        n_full = F_full.shape[0]
 
         def k_diag(F):
-            if spec.kernel_type == "fidelity":
-                return jnp.ones((F.shape[0],), y_local.dtype)
-            return outer_diag(spec.outer_kernel, F, spec.outer_params).astype(y_local.dtype)
+            return _k_diag(spec, F, y_local.dtype)
 
         def A(v_local):
             v_full = jax.lax.all_gather(v_local, data_axis, tiled=True)
-            rows = gram_from_features(spec, F_local, F_full).astype(v_local.dtype)
-            rows = rows * (m_local[:, None] * m_full[None, :])
-            return rows @ v_full + sigma2 * v_local
+            if n_full <= block:
+                rows = gram_from_features(spec, F_local, F_full).astype(v_local.dtype)
+                rows = rows * (m_local[:, None] * m_full[None, :])
+                return rows @ v_full + sigma2 * v_local
+            # stream column blocks: live tile is (N_local, block)
+            Fp, n_pad = _pad_rows(F_full, block)
+            mp, _ = _pad_rows(m_full[:, None], block)
+            vp, _ = _pad_rows(v_full, block)
+            nbk = n_pad // block
+            Fb = Fp.reshape(nbk, block, Fp.shape[-1])
+            mb = mp.reshape(nbk, block, 1)
+            vb = vp.reshape(nbk, block, vp.shape[-1])
+
+            def tile(carry, xs):
+                F_j, m_j, v_j = xs
+                K_cols = gram_from_features(spec, F_local, F_j).astype(v_local.dtype)
+                K_cols = K_cols * (m_local[:, None] * m_j.transpose(1, 0))
+                return carry + K_cols @ v_j, None
+
+            acc0 = jnp.zeros((F_local.shape[0], v_local.shape[-1]), v_local.dtype)
+            # mark the carry device-varying along the data axis (shard_map VMA)
+            try:
+                acc0 = jax.lax.pcast(acc0, (data_axis,), to="varying")
+            except (AttributeError, TypeError):  # older jax spells it pvary
+                acc0 = jax.lax.pvary(acc0, (data_axis,))
+            out, _ = jax.lax.scan(tile, acc0, (Fb, mb, vb))
+            return out + sigma2 * v_local
 
         diag_local = k_diag(F_local) + sigma2
         res = cg_solve(A, (y_local * m_local)[:, None], cg_tol, cg_maxiter,
@@ -377,20 +435,25 @@ def nll_large(
     one L factor + one panel (the whole computation runs as ONE jitted
     program — an un-jitted fori_loop holds input AND output copies of the
     factor, doubling HBM)."""
+    # noise_std/jitter ride as traced scalars: sigma2 enters the panel
+    # diagonal additively, so a hyperparameter sweep over noise values must
+    # not recompile the O(N^3) factorization program
+    dtype = jnp.dtype(dtype)
     nll, ld, quad, const = _nll_large_jit(
-        spec, F, y, noise_std=float(noise_std), jitter=float(jitter),
-        block=int(block), dtype_name=jnp.dtype(dtype).name,
+        spec, F, y, jnp.asarray(float(noise_std), dtype),
+        jnp.asarray(float(jitter), dtype),
+        block=int(block), dtype_name=dtype.name,
     )
     return nll, {"log_det_term": ld, "quadratic_term": quad, "constant_term": const}
 
 
-@partial(jax.jit, static_argnums=(0,), static_argnames=("noise_std", "jitter", "block", "dtype_name"))
+@partial(jax.jit, static_argnums=(0,), static_argnames=("block", "dtype_name"))
 def _nll_large_jit(
     spec: QuantumKernelSpec,
     F: jax.Array,
     y: jax.Array,
-    noise_std: float = 0.1,
-    jitter: float = 0.0,
+    noise_std,
+    jitter,
     block: int = 1024,
     dtype_name: str = "float32",
 ):
@@ -443,10 +506,7 @@ def pivoted_cholesky(
     dtype = (jnp.float32 if F.dtype in (jnp.float32, jnp.complex64)
              else jnp.float64)
 
-    if spec.kernel_type == "fidelity":
-        d0 = jnp.ones((n,), dtype)
-    else:
-        d0 = outer_diag(spec.outer_kernel, F, spec.outer_params).astype(dtype)
+    d0 = _k_diag(spec, F, dtype)
 
     def body(j, carry):
         L, d = carry
@@ -503,7 +563,7 @@ def make_distributed_cholesky_nll(
     dtype=jnp.float32,
     data_axis: str = "data",
 ):
-    """Exact GP NLL at multi-chip scale: a right-looking blocked Cholesky of
+    """Exact GP NLL at multi-chip scale: a left-looking blocked Cholesky of
     (K + sigma^2 I) with the L factor ROW-SHARDED over ``data_axis`` — no chip
     ever holds the full factor, and K panels are generated on the fly from the
     (tiny, all-gathered) feature matrix.
@@ -642,8 +702,15 @@ def make_cg_predictor(
     HBM (observed: worker crash at N=18k, M=2k in f64). Fidelity features
     stay complex. Eval points are chunked (``test_chunk``) so the variance
     path's live memory is bounded.
+
+    Non-converged solves warn: a maxiter-capped CG whose residual is still
+    above ~30x cg_tol yields inaccurate predictions with no other signal
+    (the alpha solve is checked at factory time, the per-chunk variance
+    solves once per predict() call — one scalar fetch each).
     """
     _check_no_regularization(spec)
+    import warnings
+
     from ..models.kernels.quantum_kernel import kernel_features
 
     on_cpu = jax.default_backend() == "cpu"
@@ -658,38 +725,43 @@ def make_cg_predictor(
     feats = jax.jit(lambda X, t: kernel_features(spec, X, t))
     F_tr = feats(jnp.asarray(X_train, jnp.float32), theta32).astype(fdtype)
     y = jnp.asarray(Y_train, dtype)
-    n = F_tr.shape[0]
-    mask = jnp.ones((n,), dtype)
     sigma2 = noise_std**2 + jitter
 
-    def A(v):
-        return gram_matvec(spec, F_tr, v, mask, block) + sigma2 * v
-
-    def k_diag(F):
-        if spec.kernel_type == "fidelity":
-            return jnp.ones((F.shape[0],), dtype)
-        return outer_diag(spec.outer_kernel, F, spec.outer_params).astype(dtype)
-
-    if precond_rank > 0:
-        Lp = pivoted_cholesky(spec, F_tr, min(precond_rank, n))
-        precond = woodbury_preconditioner(Lp.astype(dtype), sigma2)
-    else:
-        precond = k_diag(F_tr) + sigma2
-
-    alpha = cg_solve(A, y[:, None], cg_tol, cg_maxiter, precond).x[:, 0]
+    A, precond, res = _cg_setup(spec, F_tr, y, sigma2, block,
+                                cg_tol, cg_maxiter, precond_rank, dtype)
+    alpha = res.x[:, 0]
+    # residual_norm is relative to ||b||; the cond() exit test uses the max
+    # over RHS columns of the same quantity, so converged means <= cg_tol
+    # up to the final step's reduction — use a loose 30x band to avoid
+    # false alarms from a last-iteration overshoot
+    alpha_resid = float(res.residual_norm)
+    if alpha_resid > 30 * cg_tol:
+        warnings.warn(
+            f"CG alpha solve did not converge: relative residual "
+            f"{alpha_resid:.2e} after {int(res.iterations)} iterations "
+            f"(cg_tol={cg_tol:.1e}); posterior mean/var will be inaccurate. "
+            f"Raise cg_maxiter or precond_rank.", RuntimeWarning)
 
     def predict(X_eval) -> Tuple[jax.Array, jax.Array]:
         F_ev = feats(jnp.asarray(X_eval, jnp.float32), theta32).astype(fdtype)
-        means, vars_ = [], []
+        means, vars_, resids = [], [], []
         for s in range(0, F_ev.shape[0], test_chunk):
             F_c = F_ev[s:s + test_chunk]
             K_ts = gram_from_features(spec, F_tr, F_c).astype(dtype)  # (N, m)
             means.append(K_ts.T @ alpha)
             sol = cg_solve(A, K_ts, cg_tol, cg_maxiter, precond)
+            resids.append(sol.residual_norm)
             vars_.append(jnp.maximum(
-                k_diag(F_c) - jnp.sum(K_ts * sol.x, axis=0), 1e-10))
+                _k_diag(spec, F_c, dtype) - jnp.sum(K_ts * sol.x, axis=0), 1e-10))
+        worst = float(jnp.max(jnp.stack(resids)))  # one fetch per predict()
+        if worst > 30 * cg_tol:
+            warnings.warn(
+                f"CG variance solve did not converge: worst relative "
+                f"residual {worst:.2e} (cg_tol={cg_tol:.1e}); predictive "
+                f"variances will be inaccurate.", RuntimeWarning)
         return jnp.concatenate(means), jnp.concatenate(vars_)
 
+    predict.alpha_result = res
     return predict
 
 

@@ -135,9 +135,11 @@ def _agent_local_2d(
         theta_i = M.round4(theta_i)
         psi_new = M.round4(psi_new)
     # The NLL scalars are computed from all-gathered (hence replicated)
-    # inputs, but shard_map cannot statically infer that; a pmean over the
-    # power-of-two data axis is an explicit, exact replication marker.
-    rep = lambda v: jax.lax.pmean(v, "data")
+    # inputs, but shard_map cannot statically infer that; pmax over
+    # identical shard values is an exact replication marker for ANY axis
+    # size (pmean = psum/n would round in the last bit for non-power-of-two
+    # column counts, breaking step-for-step agreement with the 1-D path).
+    rep = lambda v: jax.lax.pmax(v, "data")
     return (theta_i, psi_new, rep(res.nll), rep(res.log_det_term),
             rep(res.quadratic_term), rep(res.constant_term),
             rep(res.condition_number))

@@ -47,6 +47,42 @@ def test_sharded_posterior_matches_dense():
     np.testing.assert_allclose(np.asarray(var), np.asarray(want_var), rtol=1e-3, atol=1e-6)
 
 
+def test_sharded_posterior_block_streaming_matches_dense():
+    """block < N takes the scanned column-block matvec (live Gram tile
+    bounded at (N_local, block)); results must match the dense-panel path."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    spec = QuantumKernelSpec(
+        circuit=build_circuit("hubregtsen", 3, 2, 1),
+        kernel_type="projected", outer_kernel="matern",
+    )
+    rng = np.random.RandomState(1)
+    N, M = 64, 8
+    X = jnp.asarray(rng.uniform(-0.9, 0.9, (N + M, 2)), jnp.float32)
+    theta = jnp.asarray(rng.uniform(0, np.pi, spec.num_parameters), jnp.float32)
+    Y = jnp.asarray(np.sin(np.asarray(X)[:N, 0]) + 0.05 * rng.randn(N))
+
+    F_tr = kernel_features(spec, X[:N], theta).astype(jnp.float64)
+    F_te = kernel_features(spec, X[N:], theta).astype(jnp.float64)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    # block=24 does not divide N=64: exercises padding in the scan path too
+    fn = make_sharded_posterior(spec, mesh, noise_std=0.1, block=24,
+                                cg_tol=1e-10, cg_maxiter=300)
+    shard = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    mean, var = fn(jax.device_put(F_tr, shard),
+                   jax.device_put(Y.astype(jnp.float64), shard),
+                   jax.device_put(jnp.ones((N,), jnp.float64), shard),
+                   jax.device_put(F_te, rep))
+    want_mean, want_var = predict_quantum_gp(spec, X[:N], Y, X[N:], theta,
+                                             noise_std=0.1)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(want_mean),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(want_var),
+                               rtol=1e-3, atol=1e-6)
+
+
 def test_distributed_cholesky_nll_matches_dense():
     from dqgp_tpu.parallel.blocked import make_distributed_cholesky_nll
     from dqgp_tpu.models.gp.posterior import masked_nll_and_grad

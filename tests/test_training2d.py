@@ -127,6 +127,38 @@ def test_mesh2d_matches_single_device(rows, cols):
         np.testing.assert_allclose(np.asarray(a.nll), np.asarray(b.nll), rtol=1e-4)
 
 
+def test_mesh2d_non_power_of_two_data_axis():
+    """cols=3: the replication marker on the NLL scalars must stay exact
+    (pmax of identical shard values; pmean's psum/3 would round in the last
+    bit), so the 2-D path still agrees with the single-device path."""
+    rows, cols = 2, 3
+    if len(jax.devices()) < rows * cols:
+        pytest.skip("needs 6 virtual devices")
+    spec = _spec()
+    n_agents = 4
+    batch, theta, psi = _problem(spec, 12 * n_agents, n_agents)  # 12 % 3 == 0
+
+    ref_step = make_admm_step(
+        spec, None, rho=100.0, L=100.0, noise_std=0.1,
+        compute_cond=False, grad_method="central", parity_round=True,
+    )
+    ref = _run(ref_step, theta, psi, batch)
+
+    mesh = agents_data_mesh(rows, cols)
+    batch2, theta2, psi2 = shard_batch_to_mesh_2d(batch, theta, psi, mesh)
+    step2 = make_admm_step_2d(
+        spec, mesh, rho=100.0, L=100.0, noise_std=0.1, compute_cond=False,
+        parity_round=True,
+    )
+    got = _run(step2, theta2, psi2, batch2)
+
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a.theta), np.asarray(b.theta))
+        np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
+        np.testing.assert_allclose(np.asarray(a.nll), np.asarray(b.nll),
+                                   rtol=1e-4)
+
+
 def test_mesh2d_agents_mesh_equivalence_unrounded():
     """Without parity rounding the 2-D mesh still matches the 1-D agents mesh
     to float tolerance (different psum reduction orders)."""
