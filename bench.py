@@ -418,6 +418,21 @@ def _pallas_smoke(batch: int = 256) -> bool:
     return ok
 
 
+def mode_probe():
+    """Own process: is the device backend reachable at all? On this image a
+    fresh init of the axon TPU plugin blocks indefinitely when its relay is
+    down — the orchestrator bounds this probe with a short timeout so a dead
+    relay costs minutes, not the sum of every mode's timeout budget."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(jax.devices())
+    v = float(jnp.ones((8, 8)).sum())
+    assert v == 64.0
+    print(json.dumps({"probe_ok": True, "backend": jax.default_backend(),
+                      "n_devices": n}))
+
+
 def mode_parity_gate():
     """5 ADMM iterations f32-fast AND mixed vs f64-parity: same selected z,
     same f64 CV-NLPD (the accuracy gate behind every non-f64 timing)."""
@@ -474,6 +489,7 @@ def mode_parity_gate():
 
 
 MODES = {
+    "probe": mode_probe,
     "admm_f32": mode_admm_f32,
     "admm_parity": mode_admm_parity,
     "admm_mixed": mode_admm_mixed,
@@ -510,6 +526,21 @@ def _run_mode(mode: str, timeout: int):
 def main():
     spec, X, Y, splits = make_problem()
     base_dt = get_baseline_seconds(spec, splits)
+
+    # Reachability gate: when the relay is down, every mode would burn its
+    # full timeout (hours in total). A healthy relay answers this probe in
+    # well under a minute (device list + one tiny compiled program).
+    probe_res = _run_mode("probe", 300)
+    if "error" in probe_res:
+        probe_res = _run_mode("probe", 900)
+    if "error" in probe_res:
+        print(json.dumps({
+            "metric": "admm_iters_per_sec", "value": None,
+            "unit": "iterations/s (north-star SRTM-1000 config, 1 chip)",
+            "vs_baseline": None,
+            "error": f"device backend unreachable: {probe_res['error']}",
+        }))
+        return
 
     smoke_res = _run_mode("pallas_smoke", 1500)
     if "error" in smoke_res and "timeout" in smoke_res["error"]:
