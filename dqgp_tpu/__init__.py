@@ -48,6 +48,17 @@ if os.environ.get("DQGP_X64", "1") != "0":
 # C -> NaN Cholesky on v5e). GP numerics need true f32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Opt-in persistent compilation cache: DQGP_COMPILE_CACHE=<dir>. On the axon
+# remote-compile relay a cold process pays minutes of compile time per
+# program; a disk cache amortizes that across CLI/bench invocations. Off by
+# default: on CPU the AOT cache is machine-feature-pinned (loading a cache
+# written by a different host can SIGILL), and the relay backend's executable
+# serialization support is environment-dependent.
+_cache_dir = os.environ.get("DQGP_COMPILE_CACHE", "")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 __version__ = "0.1.0"
 
 from . import manifold  # noqa: E402,F401

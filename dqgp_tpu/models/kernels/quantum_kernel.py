@@ -59,6 +59,34 @@ class QuantumKernelSpec:
             )
         if isinstance(self.measurement, list):
             object.__setattr__(self, "measurement", tuple(self.measurement))
+        # Validate measurements HERE so bad specs fail with a clear error at
+        # construction, not a KeyError deep inside a jit trace. Semantics:
+        # a string (or a tuple of single chars) = per-qubit Pauli blocks from
+        # 'XYZ'; a tuple of longer strings = full n-qubit Pauli strings over
+        # 'IXYZ', each exactly num_qubits long.
+        m = self.measurement
+        if isinstance(m, str):
+            if not m or any(c not in "XYZ" for c in m.upper()):
+                raise ValueError(
+                    f"Bad measurement string {m!r}; use chars from 'XYZ'")
+        else:
+            if not m:
+                raise ValueError("measurement tuple is empty")
+            if all(len(p) == 1 for p in m):
+                if any(p.upper() not in "XYZ" for p in m):
+                    raise ValueError(
+                        f"Bad per-qubit measurement {m!r}; single-char "
+                        f"entries must come from 'XYZ'")
+            else:
+                n = self.circuit.num_qubits
+                for p in m:
+                    if len(p) != n or any(c not in "IXYZ" for c in p.upper()):
+                        raise ValueError(
+                            f"Bad Pauli string {p!r} in measurement {m!r}: "
+                            f"full strings must be exactly num_qubits={n} "
+                            f"chars from 'IXYZ' (single chars = per-qubit "
+                            f"blocks, which cannot be mixed with full "
+                            f"strings)")
 
     @property
     def num_parameters(self) -> int:
@@ -290,6 +318,18 @@ class QuantumKernel:
     def evaluate_derivatives(self, XA, XB=None, values=("K", "dKdp"), h=float(np.pi / 8)):
         if self._parameters is None:
             raise ValueError("parameters not assigned")
+        # Only the symmetric (XA, XA) case exists: the reference never asks
+        # for cross derivatives (agent_riemannian.py:402-404 passes (X, X)).
+        # Silently returning the symmetric answer for a different XB would
+        # be wrong values AND wrong shape — refuse instead. (Cold facade
+        # path, so a value comparison is affordable here.)
+        if XB is not None and XB is not XA and not (
+                np.shape(XB) == np.shape(XA)
+                and np.array_equal(np.asarray(XB), np.asarray(XA))):
+            raise NotImplementedError(
+                "evaluate_derivatives supports only the symmetric case "
+                "(XB is None or XB == XA); cross-Gram derivatives are not "
+                "part of the reference surface")
         K, dK = self._grads_jit(jnp.asarray(XA), self._parameters, h)
         out = {}
         if "K" in values:

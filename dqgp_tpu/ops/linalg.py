@@ -129,8 +129,14 @@ def solve_psd_mixed(C: jax.Array, y: jax.Array, fallback: bool = True,
     For non-f64 inputs this is exactly ``solve_psd_with_fallback``.
     """
     if C.dtype != jnp.float64:
-        return solve_psd_with_fallback(C, y, fallback=fallback,
-                                       need_inverse=need_inverse)
+        # on_fail="flag" must keep its NaN-flagging contract here too: an
+        # in-program eigh rescue would execute on EVERY call under a vmapped
+        # caller (cond -> select) — exactly what the flag mode exists to
+        # avoid. (Reached e.g. when DQGP_X64=0 downgrades a "mixed" caller's
+        # f64 quantities to f32 while the solver string stays "mixed-flag".)
+        return solve_psd_with_fallback(
+            C, y, fallback=fallback and on_fail != "flag",
+            need_inverse=need_inverse)
     n = C.shape[-1]
     C32 = C.astype(jnp.float32)
     eye32 = jnp.eye(n, dtype=jnp.float32)
@@ -205,12 +211,18 @@ def get_psd_solver(solver: str):
     """'direct' -> solve_psd_with_fallback; 'mixed' -> solve_psd_mixed with
     the lax.cond f64 rescue (un-vmapped callers only); 'mixed-flag' ->
     solve_psd_mixed flagging failures as NaN (vmapped/sharded hot paths)."""
-    from functools import partial
-
     if solver == "mixed":
         return solve_psd_mixed
     if solver == "mixed-flag":
-        return partial(solve_psd_mixed, on_fail="flag")
+        def mixed_flag(C, y, fallback: bool = True, need_inverse: bool = True):
+            # flag solvers OWN their failure semantics: a caller's
+            # ``fallback=True`` (a plain keyword that would override a
+            # functools.partial binding) must not re-enable an in-program
+            # rescue that vmap's cond->select lowering runs on every call
+            del fallback
+            return solve_psd_mixed(C, y, fallback=False,
+                                   need_inverse=need_inverse, on_fail="flag")
+        return mixed_flag
     if solver == "direct":
         return solve_psd_with_fallback
     if solver == "direct-flag":
@@ -219,7 +231,11 @@ def get_psd_solver(solver: str):
         # vmapped N^2 eigh per CV pass, measured 172 ms vs 12 ms for the
         # whole fused step+CV on v5e). Failures surface as NaN with
         # chol_ok=False; callers rescue at the host level.
-        return partial(solve_psd_with_fallback, fallback=False)
+        def direct_flag(C, y, fallback: bool = True, need_inverse: bool = True):
+            del fallback  # see mixed_flag: the solver string wins
+            return solve_psd_with_fallback(C, y, fallback=False,
+                                           need_inverse=need_inverse)
+        return direct_flag
     raise ValueError(
         f"unknown solver '{solver}' (use 'direct', 'direct-flag', 'mixed' "
         f"or 'mixed-flag')")

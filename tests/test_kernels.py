@@ -159,3 +159,53 @@ def test_evaluate_value_equal_inputs_regularized():
     K_sym = k.evaluate(X)
     K_copy = k.evaluate(X, X.copy())
     np.testing.assert_allclose(K_copy, K_sym, rtol=0, atol=0)
+
+
+def test_evaluate_derivatives_rejects_cross_inputs():
+    """evaluate_derivatives only has the symmetric case; a different XB must
+    raise rather than silently return the (wrong-shape) symmetric answer."""
+    from dqgp_tpu.models.kernels.quantum_kernel import QuantumKernel
+
+    spec = _spec("projected")
+    qk = QuantumKernel(spec)
+    rng = np.random.RandomState(0)
+    X = rng.uniform(-0.9, 0.9, (6, 2))
+    qk.assign_parameters(rng.uniform(0, np.pi, spec.num_parameters))
+    out = qk.evaluate_derivatives(X, X.copy())  # value-equal XB is fine
+    assert out["K"].shape == (6, 6)
+    with pytest.raises(NotImplementedError):
+        qk.evaluate_derivatives(X, rng.uniform(-0.9, 0.9, (4, 2)))
+
+
+def test_measurement_validation_at_construction():
+    """Bad measurements fail with a clear ValueError when the spec is built,
+    not a KeyError inside a jit trace; full Pauli strings must span exactly
+    num_qubits and cannot be mixed with single-char per-qubit blocks."""
+    from dqgp_tpu.models.circuits import build_circuit
+    from dqgp_tpu.models.kernels import QuantumKernelSpec
+    from dqgp_tpu.models.kernels.quantum_kernel import kernel_features
+
+    circ = build_circuit("hubregtsen", 2, 2, 1)
+
+    def make(m):
+        return QuantumKernelSpec(circuit=circ, kernel_type="projected",
+                                 measurement=m, outer_kernel="gaussian")
+
+    with pytest.raises(ValueError):
+        make(("X", "Q"))           # bad per-qubit char
+    with pytest.raises(ValueError):
+        make("XQ")                 # bad string char
+    with pytest.raises(ValueError):
+        make(())                   # empty tuple
+    with pytest.raises(ValueError):
+        make(("X", "XZ"))          # mixed block/full-string lengths
+    with pytest.raises(ValueError):
+        make(("XZI",))             # full string longer than num_qubits
+
+    # valid full Pauli strings on 2 qubits produce one column each
+    spec = make(("XI", "IZ", "YY"))
+    rng = np.random.RandomState(1)
+    X = jnp.asarray(rng.uniform(-0.9, 0.9, (5, 2)), jnp.float32)
+    theta = jnp.asarray(rng.uniform(0, np.pi, spec.num_parameters), jnp.float32)
+    F = kernel_features(spec, X, theta)
+    assert F.shape == (5, 3)

@@ -277,3 +277,59 @@ def test_chained_driver_retries_flagged_mixed_iteration():
                                   np.asarray(r_f64.theta))
     np.testing.assert_array_equal(np.asarray(r_mixed.psi),
                                   np.asarray(r_f64.psi))
+
+
+def test_flag_solvers_ignore_caller_fallback():
+    """The solver string owns the failure semantics: a caller passing
+    fallback=True (a plain keyword that would override a functools.partial
+    binding) must NOT re-enable the in-program rescue of a '-flag' solver —
+    under vmap the rescue branch would execute on every call."""
+    from dqgp_tpu.ops.linalg import get_psd_solver
+
+    n = 16
+    rng = np.random.RandomState(4)
+    A = rng.randn(n, n)
+    y = jnp.asarray(rng.randn(n))
+    for dt in (jnp.float64, jnp.float32):
+        C = jnp.asarray((A + A.T) / 2, dt)  # indefinite: Cholesky fails
+        for name in ("direct-flag", "mixed-flag"):
+            solve = get_psd_solver(name)
+            res = jax.jit(lambda c, b: solve(c, b, fallback=True))(C, y.astype(dt))
+            assert not bool(res.chol_ok), (name, dt)
+            assert not np.any(np.isfinite(np.asarray(res.C_inv_y))), (name, dt)
+
+
+def test_mixed_flag_f32_input_keeps_flag_contract():
+    """solve_psd_mixed's non-f64 early return must preserve on_fail='flag'
+    (reached when DQGP_X64=0 downgrades a mixed caller's dtype to f32 while
+    the solver string stays 'mixed-flag')."""
+    n = 12
+    rng = np.random.RandomState(7)
+    A = rng.randn(n, n)
+    C = jnp.asarray((A + A.T) / 2, jnp.float32)  # indefinite
+    y = jnp.asarray(rng.randn(n), jnp.float32)
+    res = jax.jit(
+        lambda c, b: solve_psd_mixed(c, b, fallback=True, on_fail="flag")
+    )(C, y)
+    assert not bool(res.chol_ok)
+    assert not np.any(np.isfinite(np.asarray(res.C_inv_y)))
+
+
+def test_masked_nll_core_flag_solver_flags_failure():
+    """masked_nll_core(solver='direct-flag') with the default fallback=True
+    must surface a failed factorization as NaN/chol_ok=False, not rescue it
+    in-program (the caller-keyword-overrides-partial trap)."""
+    from dqgp_tpu.models.gp.posterior import masked_nll_core
+
+    n = 16
+    rng = np.random.RandomState(9)
+    A = rng.randn(n, n)
+    K = jnp.asarray((A + A.T) / 2, jnp.float64) - 50.0 * jnp.eye(n)  # very indefinite
+    y = jnp.asarray(rng.randn(n))
+    mask = jnp.ones((n,), jnp.float64)
+    res, bracket = jax.jit(
+        lambda k, b, m: masked_nll_core(k, b, m, 0.1, compute_cond=False,
+                                        fallback=True, solver="direct-flag")
+    )(K, y, mask)
+    assert not bool(res.chol_ok)
+    assert not np.isfinite(float(res.nll))
