@@ -230,6 +230,10 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     if not (0.0 < args.data_percentage <= 1.0):
         raise ValueError(f"data_percentage must be between 0.0 and 1.0, got {args.data_percentage}")
+    if not (0.0 < args.test_split < 1.0):
+        # 1.0 would divide by zero sizing the classical dataset; 0.0 fails
+        # opaquely inside sklearn's train_test_split after generation
+        raise ValueError(f"test_split must be in (0, 1), got {args.test_split}")
     log = (lambda *a, **k: None) if args.quiet else print
 
     np.random.seed(args.seed)
@@ -416,8 +420,11 @@ def main(argv=None):
                     spec, X_train, Y_train, params64, args.noise_std)
             return _cg_predictors[key](X_eval)
         # honor --gp-dtype on the final predict too: float64 must force the
-        # direct solve everywhere (the documented mixed-solver escape hatch)
-        solver = {"float64": "direct", "float32": "direct",
+        # direct solve everywhere (the documented mixed-solver escape hatch).
+        # float32 maps to "auto" (mixed on TPU): there is no genuinely-f32
+        # final predict (predict_quantum_gp runs f64 under x64), and "direct"
+        # would hand the speed-seeking flag the emulated-f64 slow path.
+        solver = {"float64": "direct", "float32": "auto",
                   "mixed": "mixed"}.get(args.gp_dtype, "auto")
         return predict_quantum_gp(
             spec, jnp.asarray(X_train), jnp.asarray(Y_train),

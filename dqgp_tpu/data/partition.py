@@ -76,7 +76,8 @@ def split_data_numpy(
 
     if partition_method == "regional":
         if input_dim == 1:
-            sorted_indices = np.argsort(X[:, 0])
+            # accept both (N,) and (N, 1) — 'random'/'sequential' already do
+            sorted_indices = np.argsort(X[:, 0] if X.ndim > 1 else X)
             splits = np.array_split(sorted_indices, n_agents)
         else:
             splits = []

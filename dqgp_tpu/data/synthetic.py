@@ -73,7 +73,9 @@ def generate_quantum_gp_data(
     if np.any(np.isnan(K)) or np.any(np.isinf(K)):
         raise ValueError("Kernel matrix contains NaN or infinite values")
 
-    K = K + 1e-6 * np.eye(num_samples)
+    # in-place diagonal jitter: `K + 1e-6*np.eye(N)` would allocate two more
+    # N x N f64 matrices (~17 GB extra at the recommended 2D size of 32,400)
+    K[np.diag_indices_from(K)] += 1e-6
     try:
         L = np.linalg.cholesky(K)
         z = np.random.normal(0, 1, num_samples)

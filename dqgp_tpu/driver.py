@@ -160,10 +160,25 @@ def load_checkpoint(path: str):
     }
 
 
+def host_cpu_agent_arrays(
+    agent_data_splits: Sequence[Tuple[np.ndarray, np.ndarray]],
+) -> list:
+    """Per-agent X arrays as f32 on the host CPU device, for reuse across
+    repeated ``host_condition_numbers`` calls (the per-iteration verbose
+    path would otherwise re-upload every agent's X each call)."""
+    cpu = jax.devices("cpu")[0]
+    return [
+        jax.device_put(jnp.asarray(np.asarray(X_i), jnp.float32), cpu)
+        for X_i, _ in agent_data_splits
+    ]
+
+
 def host_condition_numbers(
     spec: QuantumKernelSpec,
     agent_data_splits: Sequence[Tuple[np.ndarray, np.ndarray]],
     z_rows: np.ndarray,
+    chunk: int = 16,
+    xas_cpu: Optional[list] = None,
 ) -> np.ndarray:
     """Per-agent condition numbers of the noise-free Gram, on the host CPU.
 
@@ -192,8 +207,10 @@ def host_condition_numbers(
     # Chunk the iteration axis: the vmapped program materializes a
     # (chunk, n_i, n_i) f64 Gram stack per agent — unchunked, a long run on
     # large shards would allocate gigabytes host-side for a reporting
-    # quantity. The last chunk pads to CHUNK so the jit compiles once.
-    CHUNK = 16
+    # quantity. The last chunk pads to CHUNK so the jit compiles once (per
+    # chunk size: the per-iteration verbose path passes chunk=1 so a single
+    # row does not pay 16 rows of eigvalsh work).
+    CHUNK = max(1, int(chunk))
     T_pad = ((T + CHUNK - 1) // CHUNK) * CHUNK
     Z_pad = np.zeros((T_pad, Z_np.shape[1]), np.float32)
     Z_pad[:T] = Z_np
@@ -204,10 +221,8 @@ def host_condition_numbers(
     _config.use_pallas = "off"
     try:
         with jax.default_device(cpu):
-            Xas = [
-                jax.device_put(jnp.asarray(np.asarray(X_i), jnp.float32), cpu)
-                for X_i, _ in agent_data_splits
-            ]
+            Xas = (xas_cpu if xas_cpu is not None
+                   else host_cpu_agent_arrays(agent_data_splits))
             for s in range(0, T_pad, CHUNK):
                 Zc = jax.device_put(jnp.asarray(Z_pad[s:s + CHUNK]), cpu)
                 hi = min(s + CHUNK, T)  # T_pad - T < CHUNK: always > s
@@ -277,6 +292,7 @@ def train(
         cond_mode = "off"
     step_cond = cond_mode == "device"
     cond_pending: List[Tuple[int, np.ndarray]] = []  # (history idx, z_row)
+    xas_cpu_cache: List[list] = []  # lazy one-element cache (verbose path)
 
     # --- mesh + data residency -------------------------------------------
     devs = jax.devices()
@@ -531,9 +547,16 @@ def train(
         if cond_mode == "host":
             if cfg.verbose and cfg.verbose_agents:
                 # debug path: compute this row's conds synchronously so the
-                # per-agent report below can print them live
+                # per-agent report below can print them live. chunk=1: a
+                # single row must not pad to (and pay for) a 16-row batch,
+                # and the CPU-resident agent arrays upload once, not per
+                # iteration.
+                if not xas_cpu_cache:
+                    xas_cpu_cache.append(
+                        host_cpu_agent_arrays(agent_data_splits))
                 conds = host_condition_numbers(
-                    spec, agent_data_splits, np.asarray(z_row)[None, :])[0]
+                    spec, agent_data_splits, np.asarray(z_row)[None, :],
+                    chunk=1, xas_cpu=xas_cpu_cache[0])[0]
             else:
                 # copy: z_row may be a view into a packed fetch buffer
                 # (chained mode: the whole chunk) — a view would pin every

@@ -181,7 +181,11 @@ def _grid_region_panel(ax, n_agents, colors, x1b, x2b):
         for e in e2:
             ax.axhline(e, color="black", linestyle="--", alpha=0.5)
         for a in range(n_agents):
-            i, j = a % k, a // k
+            # match _regular_grid_split_numpy's digit order (X1 cell = a//k,
+            # X2 cell = a%k for 2D). The reference's own panel draws the
+            # TRANSPOSED cell (main.py:777-779 vs 567-575) so its labels
+            # contradict its scatter for k>=2 — a bug, consciously diverged.
+            i, j = a // k, a % k
             ax.add_patch(plt.Rectangle(
                 (e1[i], e2[j]), e1[i + 1] - e1[i], e2[j + 1] - e2[j],
                 facecolor=colors[a], alpha=0.3, edgecolor="black", linewidth=1))

@@ -148,3 +148,11 @@ def test_cli_cg_prediction_route_matches_dense():
                           rtol=1e-3, atol=1e-3), k
     # the CG route evaluates train metrics on a seeded subsample
     assert np.isfinite(cg["train_metrics"]["rmse"])
+
+
+def test_cli_rejects_bad_test_split():
+    from dqgp_tpu.cli import main
+
+    with pytest.raises(ValueError, match="test_split"):
+        main(["--classical-dataset", "--input-dim", "1", "--n-dataset", "20",
+              "--max-iter", "1", "--no-plot", "--test-split", "1.0"])

@@ -195,3 +195,48 @@ def test_all_four_srtm_regions_loadable():
         # normalized Attentive-Kernels style: X in (-1, 1), Y standardized
         assert np.all(np.abs(X) <= 1.0), region
         assert np.isfinite(Y).all(), region
+
+
+def test_regional_partition_accepts_1d_x():
+    """(N,) and (N, 1) inputs must give identical regional splits (the other
+    partition methods already accept both shapes)."""
+    from dqgp_tpu.data.partition import split_data_numpy
+
+    rng = np.random.RandomState(3)
+    x = rng.uniform(0, 1, 40)
+    y = np.sin(x)
+    flat = split_data_numpy(x, y, 4, "regional")
+    col = split_data_numpy(x[:, None], y, 4, "regional")
+    for (Xf, Yf), (Xc, Yc) in zip(flat, col):
+        np.testing.assert_array_equal(np.sort(Yf), np.sort(Yc))
+        assert len(Xf) == len(Xc) == 10
+
+
+def test_grid_region_panel_matches_partition():
+    """Panel rectangles must sit on the cells the regional partition actually
+    assigns (the reference's own panel draws the transposed cell — a bug we
+    consciously diverge from: utils/plotting.py:_grid_region_panel)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from dqgp_tpu.data.partition import split_data_numpy
+    from dqgp_tpu.utils.plotting import _grid_region_panel
+
+    rng = np.random.RandomState(5)
+    X = rng.uniform(0, 1, (400, 2))
+    Y = rng.randn(400)
+    splits = split_data_numpy(X, Y, 4, "regional")
+
+    fig, ax = plt.subplots()
+    x1b = (X[:, 0].min(), X[:, 0].max())
+    x2b = (X[:, 1].min(), X[:, 1].max())
+    _grid_region_panel(ax, 4, ["C0", "C1", "C2", "C3"], x1b, x2b)
+    rects = [p for p in ax.patches if isinstance(p, plt.Rectangle)]
+    assert len(rects) == 4
+    for a, ((Xa, _), rect) in enumerate(zip(splits, rects)):
+        cx, cy = np.mean(Xa[:, 0]), np.mean(Xa[:, 1])  # agent centroid
+        x0, y0 = rect.get_xy()
+        assert x0 <= cx <= x0 + rect.get_width(), f"agent {a} X1 cell"
+        assert y0 <= cy <= y0 + rect.get_height(), f"agent {a} X2 cell"
+    plt.close(fig)
