@@ -183,9 +183,15 @@ def baseline_iteration_time(spec, splits, n_params, repeats=1):
 
 def get_baseline_seconds(spec, splits):
     cache_path = os.path.join(REPO, "BASELINE_LOCAL.json")
+    config = {"n": N_SAMPLES, "agents": N_AGENTS, "qubits": NUM_QUBITS,
+              "layers": NUM_LAYERS, "P": spec.num_parameters}
     if os.path.exists(cache_path):
         with open(cache_path) as f:
-            return json.load(f)["baseline_iteration_seconds"]
+            cached = json.load(f)
+        # a cached time only denominates vs_baseline honestly if it measured
+        # THIS problem shape — recompute on any constant/spec change
+        if cached.get("config") == config:
+            return cached["baseline_iteration_seconds"]
     base_dt = baseline_iteration_time(spec, splits, spec.num_parameters)
     with open(cache_path, "w") as f:
         json.dump({
@@ -193,8 +199,7 @@ def get_baseline_seconds(spec, splits):
             "description": "NumPy/LAPACK reference-style ADMM iteration "
                            "(per-shift Gram rebuilds, batched statevector), "
                            "north-star config, this host",
-            "config": {"n": N_SAMPLES, "agents": N_AGENTS, "qubits": NUM_QUBITS,
-                       "layers": NUM_LAYERS, "P": spec.num_parameters},
+            "config": config,
         }, f, indent=2)
     return base_dt
 
@@ -219,15 +224,21 @@ def _two_point_time(make_k_program, k_lo=4, k_hi=24, repeats=3,
 
     For very cheap iterations the delta at the initial chain lengths can
     drown in relay-latency jitter (and even come out negative); when the
-    best measured delta is below ``min_delta`` seconds, the chain lengths
+    measured delta is below ``min_delta`` seconds, the chain lengths
     escalate 4x and the measurement repeats, so the slope is always taken
-    where the chained work dominates the noise.
+    where the chained work dominates the noise. The per-iteration time is
+    the MEDIAN over repeats of the paired difference — a min would pair a
+    lucky-fast t_hi with an unlucky-slow t_lo and bias every number low
+    (difference noise is two-sided, unlike single-measurement noise).
+    If even max_k chains cannot clear the noise floor, this raises rather
+    than floor-clamping: a negative or near-zero delta would otherwise
+    publish absurd throughput with no error flag.
     """
     while True:
         f_lo, f_hi = make_k_program(k_lo), make_k_program(k_hi)
         float(f_lo())  # compile + first real run
         float(f_hi())
-        best = float("inf")
+        deltas = []
         for _ in range(repeats):
             t0 = time.time()
             v_lo = float(f_lo())
@@ -236,9 +247,15 @@ def _two_point_time(make_k_program, k_lo=4, k_hi=24, repeats=3,
             v_hi = float(f_hi())
             t_hi = time.time() - t0
             assert np.isfinite(v_lo) and np.isfinite(v_hi)
-            best = min(best, (t_hi - t_lo) / (k_hi - k_lo))
-        if best * (k_hi - k_lo) >= min_delta or k_hi >= max_k:
-            return max(best, 1e-9)
+            deltas.append((t_hi - t_lo) / (k_hi - k_lo))
+        per_iter = float(np.median(deltas))
+        if per_iter * (k_hi - k_lo) >= min_delta:
+            return per_iter
+        if k_hi >= max_k:
+            raise RuntimeError(
+                f"two-point timing never cleared the noise floor: median "
+                f"delta {per_iter * (k_hi - k_lo):.4f}s < {min_delta}s at "
+                f"k_hi={k_hi} — relay too jittery for an honest number")
         k_lo, k_hi = k_hi, 4 * k_hi
 
 
@@ -446,11 +463,15 @@ def mode_parity_gate():
     batch = make_agent_batch(splits)
     theta0, psi0, _ = init_admm_state(N_AGENTS, spec.num_parameters, 42, RHO)
 
-    def run(gp_dtype):
+    def run(gp_dtype, psd_fallback):
+        # psd_fallback mirrors the TIMED configuration of each mode
+        # (_admm_step_time: f32 False, parity/mixed True) — the gate must
+        # certify the program the timing measured, not a stricter variant
+        # that could NaN where the timed one rescues.
         theta, psi = jnp.asarray(theta0), jnp.asarray(psi0)
         step = make_admm_step(
             spec, None, rho=RHO, L=L_CONST, noise_std=NOISE_STD,
-            compute_cond=False, psd_fallback=False, gp_dtype=gp_dtype,
+            compute_cond=False, psd_fallback=psd_fallback, gp_dtype=gp_dtype,
         )
         out = None
         for _ in range(5):
@@ -458,9 +479,9 @@ def mode_parity_gate():
             theta, psi = out.theta, out.psi
         return np.asarray(out.z, np.float64)
 
-    z32 = run("float32")
-    z64 = run("float64")
-    zmx = run("mixed")
+    z32 = run("float32", False)
+    z64 = run("float64", True)
+    zmx = run("mixed", True)
     z_dev = float(np.max(np.abs(z32 - z64)))
     z_dev_mixed = float(np.max(np.abs(zmx - z64)))
 
@@ -524,12 +545,11 @@ def _run_mode(mode: str, timeout: int):
 
 
 def main():
-    spec, X, Y, splits = make_problem()
-    base_dt = get_baseline_seconds(spec, splits)
-
-    # Reachability gate: when the relay is down, every mode would burn its
-    # full timeout (hours in total). A healthy relay answers this probe in
-    # well under a minute (device list + one tiny compiled program).
+    # Reachability gate FIRST: it needs no baseline, and when the relay is
+    # down every mode would burn its full timeout (hours in total) — while a
+    # missing BASELINE_LOCAL.json would additionally pay the minutes-long
+    # NumPy baseline for nothing. A healthy relay answers this probe in well
+    # under a minute (device list + one tiny compiled program).
     probe_res = _run_mode("probe", 300)
     if "error" in probe_res:
         probe_res = _run_mode("probe", 900)
@@ -541,6 +561,9 @@ def main():
             "error": f"device backend unreachable: {probe_res['error']}",
         }))
         return
+
+    spec, X, Y, splits = make_problem()
+    base_dt = get_baseline_seconds(spec, splits)
 
     smoke_res = _run_mode("pallas_smoke", 1500)
     if "error" in smoke_res and "timeout" in smoke_res["error"]:

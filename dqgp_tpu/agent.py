@@ -22,6 +22,29 @@ from .manifold import TorusManifold, create_riemannian_framework
 from .models.kernels.quantum_kernel import QuantumKernel
 from .parallel.consensus import _agent_local
 
+# One jitted step per (spec, hyperparameters) — module-level so N agents
+# built the reference way (one object per agent, identical config) share a
+# single compiled program instead of paying N identical compilations
+# (minutes each on a remote-compile relay). jax.jit caches per CALLABLE:
+# per-instance partials would each get their own empty cache.
+_step_cache: Dict[tuple, object] = {}
+
+
+def _get_agent_step(spec, rho, L, noise_std, shift_value, parity_round,
+                    grad_method):
+    key = (spec, float(rho), float(L), float(noise_std), float(shift_value),
+           bool(parity_round), grad_method)
+    if key not in _step_cache:
+        _step_cache[key] = jax.jit(
+            partial(
+                _agent_local, spec,
+                rho=float(rho), L=float(L), noise_std=float(noise_std),
+                shift_value=float(shift_value), parity_round=bool(parity_round),
+                compute_cond=True, grad_method=grad_method,
+            )
+        )
+    return _step_cache[key]
+
 
 class RiemannianAgent:
     def __init__(
@@ -87,14 +110,9 @@ class RiemannianAgent:
         self._riemannian_lr = riemannian_lr
         self._riemannian_method = riemannian_method
 
-        self._step = jax.jit(
-            partial(
-                _agent_local,
-                self.spec,
-                rho=float(rho), L=float(L), noise_std=float(noise_std),
-                shift_value=float(shift_value), parity_round=parity_round,
-                compute_cond=True, grad_method=self.grad_method,
-            )
+        self._step = _get_agent_step(
+            self.spec, rho, L, noise_std, shift_value, parity_round,
+            self.grad_method,
         )
 
     def _setup_riemannian_framework(self, num_parameters: int):

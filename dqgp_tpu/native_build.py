@@ -28,12 +28,24 @@ def load_native(name: str) -> Optional[ctypes.CDLL]:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     so = os.path.join(_BUILD_DIR, f"lib{name}.so")
     try:
+        # <=: a source edit within the artifact's mtime second must rebuild
         if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-o", so, src],
-                check=True, capture_output=True,
-            )
+                or os.path.getmtime(so) <= os.path.getmtime(src)):
+            # Compile to a private temp path and rename into place: g++
+            # writing the final path directly means an interrupted compile
+            # leaves a truncated .so whose fresh mtime suppresses rebuilds
+            # forever (and a concurrent process could CDLL a torn file).
+            # rename() is atomic within the directory.
+            tmp = os.path.join(_BUILD_DIR, f".lib{name}.{os.getpid()}.tmp.so")
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, src],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp, so)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         lib = ctypes.CDLL(so)
     except Exception:
         _cache[name] = None

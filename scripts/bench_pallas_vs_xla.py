@@ -11,7 +11,8 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import _two_point_time  # noqa: E402
 

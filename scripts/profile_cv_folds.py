@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import _two_point_time, make_problem  # noqa: E402
 from dqgp_tpu.models.gp.cv import cv_fold_scores_impl, kfold_pad_indices  # noqa: E402
