@@ -33,7 +33,8 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def run_config(name, *, encoding, qubits, layers, dataset, n, n_agents,
-               max_iter=5, region=None):
+               max_iter=5, region=None, kernel_type="projected",
+               outer_kernel="matern", input_dim=2):
     from dqgp_tpu.data import generate_quantum_gp_data, split_data_numpy
     from dqgp_tpu.data.real_world import load_srtm_elevation_dataset
     from dqgp_tpu.driver import TrainConfig, train
@@ -43,14 +44,14 @@ def run_config(name, *, encoding, qubits, layers, dataset, n, n_agents,
     from sklearn.model_selection import train_test_split
 
     spec = QuantumKernelSpec(
-        circuit=build_circuit(encoding, qubits, 2, layers),
-        kernel_type="projected",
-        outer_kernel="matern",
+        circuit=build_circuit(encoding, qubits, input_dim, layers),
+        kernel_type=kernel_type,
+        outer_kernel=outer_kernel,
     )
     theta_star = None
     if dataset == "quantum":
         X, Y, theta_star = generate_quantum_gp_data(
-            num_samples=n, input_dim=2, spec=spec,
+            num_samples=n, input_dim=input_dim, spec=spec,
             noise_std=0.1, param_seed=42, data_seed=42,
         )
     else:
@@ -76,7 +77,9 @@ def run_config(name, *, encoding, qubits, layers, dataset, n, n_agents,
                              verbose=False)
     rec = {
         "config": {"encoding": encoding, "qubits": qubits, "layers": layers,
-                   "kernel": "projected+matern", "dataset": dataset,
+                   "kernel": (kernel_type if kernel_type == "fidelity"
+                              else f"{kernel_type}+{outer_kernel}"),
+                   "input_dim": input_dim, "dataset": dataset,
                    "region": region, "n": n, "agents": n_agents,
                    "max_iter": max_iter, "seed": 42},
         "cv_nlpd_best": round(result.cv_best, 6),
@@ -95,6 +98,11 @@ def run_config(name, *, encoding, qubits, layers, dataset, n, n_agents,
 
 
 def main():
+    # self-provision the deterministic synthetic tiles (srtm_data/ is
+    # gitignored; a fresh checkout has no tiles at all)
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from make_synthetic_tiles import ensure_tiles
+    ensure_tiles(os.path.join(REPO, "srtm_data"))
     targets = {
         "recorded": "dqgp_tpu CPU float64 parity mode (see module docstring)",
         "configs": {
@@ -103,6 +111,16 @@ def main():
             "config1_small": run_config(
                 "config1_small", encoding="hubregtsen", qubits=3, layers=1,
                 dataset="quantum", n=240, n_agents=4, max_iter=3),
+            # regression-test SRTM anchor: small & fast, regressed exactly
+            # by tests/test_parity_targets.py (would have caught the silent
+            # real->synthetic tile swap of 2026-08-16). Tiles are the
+            # deterministic synthetics of scripts/make_synthetic_tiles.py --
+            # srtm_data/ is gitignored, so synthetic tiles are what any
+            # fresh checkout reproduces.
+            "config2_small": run_config(
+                "config2_small", encoding="chebyshev", qubits=4, layers=3,
+                dataset="srtm", region="maharashtra", n=300, n_agents=4,
+                max_iter=3),
             # BASELINE.md configs #1-#4 at their full shapes
             "config1": run_config(
                 "config1", encoding="hubregtsen", qubits=3, layers=1,
@@ -119,6 +137,18 @@ def main():
             "config4_srtm_washington": run_config(
                 "config4", encoding="chebyshev", qubits=5, layers=4,
                 dataset="srtm", region="washington_coast", n=1000, n_agents=4),
+            # BASELINE config: fidelity kernel, 6-qubit kyriienko encoding,
+            # synthetic sweep (1D and 3D endpoints recorded; the CG
+            # Riemannian method the config names is inert in training by
+            # reference quirk -- SURVEY.md par. 2.8)
+            "config5_fidelity_kyriienko_1d": run_config(
+                "config5_1d", encoding="kyriienko", qubits=6, layers=2,
+                dataset="quantum", n=240, n_agents=4, max_iter=3,
+                kernel_type="fidelity", input_dim=1),
+            "config5_fidelity_kyriienko_3d": run_config(
+                "config5_3d", encoding="kyriienko", qubits=6, layers=2,
+                dataset="quantum", n=240, n_agents=4, max_iter=3,
+                kernel_type="fidelity", input_dim=3),
         },
     }
     out = os.path.join(REPO, "PARITY_TARGETS.json")
