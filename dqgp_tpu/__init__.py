@@ -38,6 +38,16 @@ import os
 
 import jax
 
+# Honor JAX_PLATFORMS even on hosts whose sitecustomize registers an
+# overriding accelerator plugin (the axon image does): a user who exported
+# JAX_PLATFORMS=cpu gets the CPU backend, not a hang inside the plugin's
+# backend init when its relay is unreachable. No-op when the env is unset.
+if os.environ.get("JAX_PLATFORMS"):
+    try:
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass  # backend already initialized — too late to repin
+
 # GP-side linear algebra wants f64 for parity with the reference's LAPACK
 # numerics; the statevector path explicitly uses complex64/float32 regardless.
 if os.environ.get("DQGP_X64", "1") != "0":

@@ -6,8 +6,11 @@ Gram-free blocked Cholesky NLL; the 50k x 50k Gram is never materialized.
 Run with smaller N first: python examples/scale_out_50k.py 20000
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -18,9 +18,13 @@ Virtual 8-device 2-D mesh (4 agent rows x 2 data columns):
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -8,6 +8,11 @@ Equivalent CLI:
         --outer-kernel matern --rho 100 --L 100 --n-agents 4
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax.numpy as jnp
 
