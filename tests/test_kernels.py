@@ -209,3 +209,50 @@ def test_measurement_validation_at_construction():
     theta = jnp.asarray(rng.uniform(0, np.pi, spec.num_parameters), jnp.float32)
     F = kernel_features(spec, X, theta)
     assert F.shape == (5, 3)
+
+
+def test_full_parity_surface_grams_psd():
+    """SURVEY.md parity checklist smoke: every encoding x kernel type (one
+    outer kernel), every outer kernel (one encoding), and both
+    regularizations produce finite, symmetric Grams; PSD is asserted where
+    the kernel family guarantees it (expsinesquared/pairwise on
+    multi-dimensional features are indefinite in sklearn too — verified
+    eig_min -0.92 matches sklearn to 1e-5; that is exactly why the
+    regularization options exist)."""
+    from dqgp_tpu.models.circuits import ENCODING_TYPES, build_circuit
+    from dqgp_tpu.models.kernels import QuantumKernelSpec
+    from dqgp_tpu.models.kernels.quantum_kernel import gram
+
+    rng = np.random.RandomState(0)
+    X = jnp.asarray(rng.uniform(-0.9, 0.9, (12, 2)), jnp.float32)
+
+    PSD_FAMILIES = {"gaussian", "matern", "rationalquadratic", "dotproduct"}
+
+    def check(spec, expect_psd=None):
+        theta = jnp.asarray(rng.uniform(0, np.pi, spec.num_parameters),
+                            jnp.float32)
+        K = np.asarray(gram(spec, X, theta), np.float64)
+        assert np.isfinite(K).all(), spec
+        np.testing.assert_allclose(K, K.T, atol=1e-6)
+        if expect_psd is None:
+            expect_psd = (spec.kernel_type == "fidelity"
+                          or spec.outer_kernel in PSD_FAMILIES)
+        if expect_psd:
+            w = np.linalg.eigvalsh((K + K.T) / 2)
+            assert w.min() > -1e-5, (spec.kernel_type, spec.outer_kernel, w.min())
+
+    for enc in ENCODING_TYPES:
+        for kt in ("fidelity", "projected"):
+            check(QuantumKernelSpec(circuit=build_circuit(enc, 3, 2, 1),
+                                    kernel_type=kt, outer_kernel="gaussian"))
+    circ = build_circuit("hubregtsen", 3, 2, 1)
+    for outer in ("gaussian", "matern", "expsinesquared", "rationalquadratic",
+                  "dotproduct", "pairwisekernel"):
+        check(QuantumKernelSpec(circuit=circ, kernel_type="projected",
+                                outer_kernel=outer))
+    for reg in ("thresholding", "tikhonov"):
+        # regularization's whole job is restoring PSD — assert it even on
+        # the indefinite expsinesquared family
+        check(QuantumKernelSpec(circuit=circ, kernel_type="projected",
+                                outer_kernel="expsinesquared",
+                                regularization=reg), expect_psd=True)
