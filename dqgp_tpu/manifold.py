@@ -38,8 +38,21 @@ PERIOD = float(np.pi)
 
 
 def wrap(x: jax.Array, period: float = PERIOD) -> jax.Array:
-    """Wrap angles to [0, period). Reference: riemannian_optimizer.py:73-83."""
-    return jnp.mod(x, period)
+    """Wrap angles to [0, period]. Reference: riemannian_optimizer.py:73-83.
+
+    XLA's mod computes x - floor(x/p)*p, so a subnormal negative x (|x| <
+    ~1e-308*p) underflows x/p to -0.0 and comes back UNCHANGED — negative,
+    outside the torus chart (np.mod returns p there; found by hypothesis).
+    Flushing sub-``tiny`` results to zero restores the non-negativity
+    invariant that the psi update and distance algebra rely on (a plain
+    ``m < 0`` guard fails: XLA also flushes the subnormal inside the
+    comparison, so it reads as -0.0 < 0 == False while the stored value
+    stays negative). For every normal input this is a no-op, so reference
+    parity is untouched. (Boundary note shared with np.mod: a tiny-but-
+    normal negative x rounds to exactly p, hence the CLOSED upper end.)"""
+    m = jnp.mod(x, period)
+    tiny = jnp.finfo(jnp.result_type(m)).tiny
+    return jnp.where(jnp.abs(m) < tiny, jnp.zeros_like(m), m)
 
 
 def distance(x: jax.Array, y: jax.Array, period: float = PERIOD) -> jax.Array:
