@@ -99,3 +99,28 @@ def test_admm_psi_update_wraps_like_reference(z, theta, psi):
     assert np.all((diff >= -1e-12) & (diff < M.PERIOD + 1e-9))
     np.testing.assert_allclose(
         diff, np.asarray(M.wrap(theta - z)), atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Statevector unitarity properties (every encoding, random angles)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_all_encodings_preserve_norm(seed):
+    """Every gate in the IR is unitary, so |psi(x, theta)|_2 == 1 for every
+    encoding family, input, and parameter draw — the invariant behind
+    fidelity-Gram diag == 1 and projected features in [-1, 1]."""
+    from dqgp_tpu.models.circuits import ENCODING_TYPES, build_circuit
+    from dqgp_tpu.ops.statevector import angle_matrix, state_from_angles
+
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    enc = ENCODING_TYPES[seed % len(ENCODING_TYPES)]
+    n = 2 + seed % 3          # 2..4 qubits
+    circ = build_circuit(enc, n, 2, 1 + seed % 2)
+    X = jnp.asarray(rng.uniform(-0.9, 0.9, (5, 2)), jnp.float32)
+    theta = jnp.asarray(rng.uniform(0, np.pi, circ.num_parameters), jnp.float32)
+    psi = state_from_angles(circ, angle_matrix(circ, X, theta))
+    norms = np.asarray(jnp.sum(jnp.abs(psi) ** 2, axis=-1))
+    np.testing.assert_allclose(norms, 1.0, atol=5e-6)
