@@ -41,10 +41,16 @@ import jax
 # Honor JAX_PLATFORMS even on hosts whose sitecustomize registers an
 # overriding accelerator plugin (the axon image does): a user who exported
 # JAX_PLATFORMS=cpu gets the CPU backend, not a hang inside the plugin's
-# backend init when its relay is unreachable. No-op when the env is unset.
-if os.environ.get("JAX_PLATFORMS"):
+# backend init when its relay is unreachable. The baked-in "axon" value is
+# the image DEFAULT, not a user choice — re-pinning it here would clobber a
+# script's explicit jax.config.update("jax_platforms", "cpu") made before
+# importing this package (observed: a CPU-pinned script dying on axon
+# backend init). So only a non-axon env value — necessarily a deliberate
+# user export — wins over earlier pins.
+_env_platforms = os.environ.get("JAX_PLATFORMS", "")
+if _env_platforms and _env_platforms != "axon":
     try:
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        jax.config.update("jax_platforms", _env_platforms)
     except Exception:
         pass  # backend already initialized — too late to repin
 
