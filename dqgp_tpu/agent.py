@@ -35,6 +35,12 @@ def _get_agent_step(spec, rho, L, noise_std, shift_value, parity_round,
     key = (spec, float(rho), float(L), float(noise_std), float(shift_value),
            bool(parity_round), grad_method)
     if key not in _step_cache:
+        if len(_step_cache) >= 32:
+            # bound the cache: a hyperparameter sweep constructing agents
+            # per grid point must not retain one compiled program per
+            # combination for the process lifetime (FIFO is fine — reuse
+            # within a sweep point is what the cache is for)
+            _step_cache.pop(next(iter(_step_cache)))
         _step_cache[key] = jax.jit(
             partial(
                 _agent_local, spec,

@@ -63,7 +63,11 @@ class QuantumKernelSpec:
         # construction, not a KeyError deep inside a jit trace. Semantics:
         # a string (or a tuple of single chars) = per-qubit Pauli blocks from
         # 'XYZ'; a tuple of longer strings = full n-qubit Pauli strings over
-        # 'IXYZ', each exactly num_qubits long.
+        # 'IXYZ', each exactly num_qubits long. Fidelity kernels never
+        # consult the field, so only projected specs are validated — a
+        # nonconforming value in the dead field must not break working code.
+        if self.kernel_type != "projected":
+            return
         m = self.measurement
         if isinstance(m, str):
             if not m or any(c not in "XYZ" for c in m.upper()):

@@ -24,6 +24,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Parity anchors must come from KNOWN data: a dedicated directory holding
+# only the deterministic synthetic tiles. Recording from srtm_data/ would
+# silently pick up real tiles if a workspace has them (gitignored), and the
+# bit-exact regression test would then fail on every fresh checkout.
+SYNTH_TILE_DIR = os.path.join(REPO, "srtm_data_synth")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
@@ -57,7 +63,7 @@ def run_config(name, *, encoding, qubits, layers, dataset, n, n_agents,
     else:
         X, Y = load_srtm_elevation_dataset(
             region=region, max_samples=n, subsample_factor=10,
-            random_state=42, data_dir=os.path.join(REPO, "srtm_data"),
+            random_state=42, data_dir=SYNTH_TILE_DIR,
         )
     Xtr, Xte, Ytr, Yte = train_test_split(X, Y, test_size=0.1, random_state=42)
     splits = split_data_numpy(Xtr, Ytr, n_agents=n_agents,
@@ -98,11 +104,10 @@ def run_config(name, *, encoding, qubits, layers, dataset, n, n_agents,
 
 
 def main():
-    # self-provision the deterministic synthetic tiles (srtm_data/ is
-    # gitignored; a fresh checkout has no tiles at all)
+    # self-provision the deterministic synthetic tiles into their own dir
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     from make_synthetic_tiles import ensure_tiles
-    ensure_tiles(os.path.join(REPO, "srtm_data"))
+    ensure_tiles(SYNTH_TILE_DIR)
     targets = {
         "recorded": "dqgp_tpu CPU float64 parity mode (see module docstring)",
         "configs": {

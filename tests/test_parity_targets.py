@@ -118,7 +118,10 @@ def test_config2_small_srtm_regression(targets):
         from make_synthetic_tiles import ensure_tiles
     finally:
         sys.path.pop(0)
-    ensure_tiles(os.path.join(REPO, "srtm_data"))
+    # dedicated synthetic-tile dir: the anchor must not silently pick up
+    # real tiles a workspace may have in (gitignored) srtm_data/
+    tile_dir = os.path.join(REPO, "srtm_data_synth")
+    ensure_tiles(tile_dir)
 
     spec = QuantumKernelSpec(
         circuit=build_circuit(c["encoding"], c["qubits"], 2, c["layers"]),
@@ -126,7 +129,7 @@ def test_config2_small_srtm_regression(targets):
     )
     X, Y = load_srtm_elevation_dataset(
         region=c["region"], max_samples=c["n"], subsample_factor=10,
-        random_state=42, data_dir=os.path.join(REPO, "srtm_data"),
+        random_state=42, data_dir=tile_dir,
     )
     Xtr, Xte, Ytr, Yte = train_test_split(X, Y, test_size=0.1, random_state=42)
     splits = split_data_numpy(Xtr, Ytr, n_agents=c["agents"],
