@@ -191,3 +191,23 @@ def test_cli_flag_inventory_stable():
     }
     missing = expected - flags
     assert not missing, f"flags removed from the CLI surface: {sorted(missing)}"
+
+
+def test_example_scale_out_training_runs(tmp_path):
+    """The documented example invocation must work from a plain checkout
+    (it broke once: no repo-relative import path + the sitecustomize
+    platform override)."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "scale_out_training.py"),
+         "--mesh", "2x2", "--agents", "4", "--n-per-agent", "48",
+         "--qubits", "3", "--iters", "1"],
+        env=env, capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "iteration 1" in r.stdout
