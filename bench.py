@@ -648,6 +648,12 @@ def main():
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--mode":
+        # the package init honors a non-axon JAX_PLATFORMS before any
+        # backend init (the host sitecustomize would otherwise pin its
+        # accelerator plugin and a CPU-targeted mode would hang on a dead
+        # relay); mode bodies import jax before dqgp_tpu, so do it here
+        import dqgp_tpu  # noqa: F401
+
         MODES[sys.argv[2]]()
     else:
         main()
