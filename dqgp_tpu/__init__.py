@@ -49,10 +49,30 @@ import jax
 # user export — wins over earlier pins.
 _env_platforms = os.environ.get("JAX_PLATFORMS", "")
 if _env_platforms and _env_platforms != "axon":
+    # A config value that is unset or still one of the image defaults (the
+    # env value itself, or the axon plugin's register()-time 'axon'/
+    # 'axon,cpu') is not a user choice — override it with the env export.
+    # Anything else is an explicit jax.config.update(...) pin made by the
+    # importing script: respect it and say so in one line, instead of
+    # silently repinning to what a PARENT tool exported for its own
+    # subprocesses (advisor finding, round 2).
     try:
-        jax.config.update("jax_platforms", _env_platforms)
+        _cur = jax.config.jax_platforms
     except Exception:
-        pass  # backend already initialized — too late to repin
+        _cur = None
+    if _cur in (None, "", _env_platforms, "axon", "axon,cpu"):
+        try:
+            jax.config.update("jax_platforms", _env_platforms)
+        except Exception:
+            pass  # backend already initialized — too late to repin
+    elif _cur != _env_platforms:
+        import sys as _sys
+
+        print(
+            f"dqgp_tpu: keeping explicit jax_platforms={_cur!r} "
+            f"(env JAX_PLATFORMS={_env_platforms!r} not applied)",
+            file=_sys.stderr,
+        )
 
 # GP-side linear algebra wants f64 for parity with the reference's LAPACK
 # numerics; the statevector path explicitly uses complex64/float32 regardless.

@@ -172,14 +172,25 @@ def gp_posterior_from_grams(
     from jax.scipy.linalg import solve_triangular
 
     # With the mixed solver, run the variance triangular solve in f32 (L is
-    # an f32-accurate factor anyway; an emulated-f64 triangular solve would
-    # give the direct path's cost right back). Predictive variances are O(1)
-    # magnitudes clamped at 1e-10 — f32 roundoff is immaterial.
+    # an f32-accurate factor on the happy path; an emulated-f64 triangular
+    # solve would give the direct path's cost right back). Predictive
+    # variances are O(1) magnitudes clamped at 1e-10 — f32 roundoff is
+    # immaterial. BUT when the mixed solver's residual gate fails and the
+    # lax.cond f64 rescue runs, res.L is the rescue's f64-grade factor and
+    # the variance must be computed at full dtype or the rescue's accuracy
+    # is thrown away — res.l_exact carries which case happened at runtime.
     vdt = contraction_dtype(solver, dtype)
 
-    def chol_var(_):
-        v = solve_triangular(res.L.astype(vdt), K_st.T.astype(vdt), lower=True)
+    def chol_var_at(vd):
+        v = solve_triangular(res.L.astype(vd), K_st.T.astype(vd), lower=True)
         return K_ss_diag - jnp.sum(v * v, axis=0).astype(dtype)
+
+    def chol_var(_):
+        if vdt == dtype:
+            return chol_var_at(dtype)
+        return jax.lax.cond(res.l_exact,
+                            lambda _: chol_var_at(dtype),
+                            lambda _: chol_var_at(vdt), None)
 
     def inv_var(_):
         return K_ss_diag - jnp.sum((K_st @ res.C_inv) * K_st, axis=1)
@@ -189,8 +200,9 @@ def gp_posterior_from_grams(
         # failure C_inv_y is already NaN (the mean, hence the fold score,
         # propagates it), so the inverse-based variance branch — whose
         # matmul would execute unconditionally under vmap's cond->select
-        # lowering — is dead weight; take the triangular form directly.
-        var = chol_var(None)
+        # lowering — is dead weight; take the triangular form directly (at
+        # vdt: a flag solver's L is f32-grade by construction).
+        var = chol_var_at(vdt)
     else:
         var = jax.lax.cond(res.chol_ok, chol_var, inv_var, None)
     var = jnp.maximum(var, 1e-10)

@@ -20,11 +20,26 @@ from jax.scipy.linalg import solve_triangular
 
 
 class SolveResult(NamedTuple):
+    """Result of a PSD solve.
+
+    Accuracy contract: ``C_inv``/``C_inv_y`` are accurate at ``C.dtype``
+    whenever ``chol_ok`` is True (the mixed solver's residual gate enforces
+    this). ``logdet`` is f64-exact on the direct path; on the mixed path it
+    derives from the f32 factor's diagonal and carries ~N*eps_f32 relative
+    error (~1e-4 at N=1000) — fine for the 4-dp-rounded trajectory and the
+    gated north-star NLL parity, but NLL log-det terms from the mixed solver
+    should not be asserted beyond ~4 significant digits on ill-conditioned
+    Grams. ``l_exact`` says whether ``L`` is a ``C.dtype``-grade factor
+    (direct path / mixed's f64 rescue) or only f32-grade (mixed happy path);
+    variance solves through ``L`` should pick their dtype from it.
+    """
+
     C_inv: jax.Array        # (N, N)
     C_inv_y: jax.Array      # (N,)
     logdet: jax.Array       # scalar
     chol_ok: jax.Array      # bool scalar
     L: jax.Array            # Cholesky factor (garbage if chol_ok is False)
+    l_exact: jax.Array      # bool scalar: L is accurate at C.dtype
 
 
 def solve_psd_with_fallback(C: jax.Array, y: jax.Array, fallback: bool = True,
@@ -84,7 +99,8 @@ def solve_psd_with_fallback(C: jax.Array, y: jax.Array, fallback: bool = True,
         C_inv = jnp.where(chol_ok, C_inv, nan)
         C_inv_y = jnp.where(chol_ok, C_inv_y, nan)
         logdet = jnp.where(chol_ok, logdet, nan)
-    return SolveResult(C_inv, C_inv_y, logdet, chol_ok, L_safe)
+    return SolveResult(C_inv, C_inv_y, logdet, chol_ok, L_safe,
+                       jnp.asarray(True))
 
 
 def solve_psd_mixed(C: jax.Array, y: jax.Array, fallback: bool = True,
@@ -184,9 +200,11 @@ def solve_psd_mixed(C: jax.Array, y: jax.Array, fallback: bool = True,
         return SolveResult(
             jnp.where(ok, X, nan), jnp.where(ok, x, nan),
             jnp.where(ok, logdet, nan), ok, L_safe.astype(C.dtype),
+            jnp.asarray(False),
         )
 
-    mixed = SolveResult(X, x, logdet, ok, L_safe.astype(C.dtype))
+    mixed = SolveResult(X, x, logdet, ok, L_safe.astype(C.dtype),
+                        jnp.asarray(False))
 
     def direct(_):
         return solve_psd_with_fallback(C, y, fallback=fallback,
