@@ -332,17 +332,13 @@ def train(
     if mesh2d is not None:
         from .parallel import make_admm_step_2d
 
-        if cfg.grad_method == "autodiff":
-            raise NotImplementedError(
-                "grad_method='autodiff' is not available on the 2-D mesh; "
-                "use 'central'/'streamed' or the 1-D agents mesh"
-            )
         step = make_admm_step_2d(
             spec, mesh2d,
             rho=cfg.rho, L=cfg.L, noise_std=cfg.noise_std,
             shift_value=cfg.shift_value, parity_round=cfg.parity_round,
             compute_cond=step_cond,
             gp_dtype=cfg.gp_dtype, psd_fallback=cfg.psd_fallback,
+            grad_method=cfg.grad_method,
         )
     else:
         step = make_admm_step(
@@ -409,7 +405,7 @@ def train(
             if mesh2d is not None:
                 from .parallel import make_admm_step_2d as _mk2d
 
-                base64 = _mk2d(spec, mesh2d, **kw)
+                base64 = _mk2d(spec, mesh2d, grad_method=cfg.grad_method, **kw)
             else:
                 base64 = make_admm_step(
                     spec, mesh, grad_method=cfg.grad_method, **kw)

@@ -77,6 +77,8 @@ def _agent_local_2d(
     compute_cond: bool,
     gp_dtype: str,
     psd_fallback: bool,
+    grad_method: str = "central",
+    n_data_cols: int = 1,
 ):
     solver = "direct"
     if gp_dtype == "mixed":
@@ -89,44 +91,80 @@ def _agent_local_2d(
     n_loc = X_loc.shape[0]
     col = jax.lax.axis_index("data")
 
-    # Row-sharded features -> full feature matrix (tiny) via all-gather.
-    F_loc = kernel_features(spec, X_loc, z32)
-    F_full = jax.lax.all_gather(F_loc, "data", axis=0, tiled=True)
     y_full = jax.lax.all_gather(Y_loc, "data", axis=0, tiled=True)
     m_full = jax.lax.all_gather(m_loc, "data", axis=0, tiled=True)
 
-    # Unshifted Gram + solve, replicated along "data" (see module docstring).
-    K = gram_from_features(spec, F_full)
-    res, bracket = masked_nll_core(
-        K.astype(dtype), y_full.astype(dtype), m_full.astype(dtype), noise_std,
-        compute_cond=compute_cond, fallback=psd_fallback, solver=solver,
-    )
-    # mixed: contract panels in f32 (see consensus._agent_local)
-    cdt = contraction_dtype(solver, dtype)
-    # This device's row block of the (symmetric) bracket and of the mask.
-    B_loc = jax.lax.dynamic_slice_in_dim(bracket, col * n_loc, n_loc,
-                                         axis=0).astype(cdt)
-    m2_loc = (m_loc[:, None] * m_full[None, :]).astype(cdt)
+    if grad_method == "autodiff":
+        # Exact dNLL/dtheta through the sharded forward pass (the 1-D mesh's
+        # better-than-reference mode, consensus._agent_local). The loss is
+        # REPLICATED along "data" (every column computes the same NLL from
+        # the gathered features), so each device differentiates loss/n_cols:
+        # the all_gather transpose (a psum_scatter over "data") sums the
+        # n_cols replica cotangents — the 1/n_cols cancels that — handing
+        # every device exactly dL/dF_loc for ITS rows, and shard_map's
+        # replicated-input gradient rule then psums the per-device partials
+        # automatically (verified: an explicit psum here double-counts by
+        # the axis size). Live memory stays O(N^2) (the Cholesky VJP's
+        # cotangent), never (P,N,N). Like the 1-D path, autodiff keeps the
+        # direct solver (mixed's refinement loop is well-defined under AD
+        # but needlessly deep).
+        #
+        # The differentiation point must be marked VARYING over "agents":
+        # z arrives replication-tracked as unvarying over that axis (it is a
+        # psum over it), and the cotangent of an unvarying input gets an
+        # automatic psum over "agents" to stay type-consistent — which would
+        # sum every mesh row's gradient into every agent (verified: rows=1
+        # exact, rows>1 scrambled). pcast(to='varying') severs exactly that
+        # tie; each row then keeps its own per-agent gradient.
+        def loss(t):
+            F_loc_t = kernel_features(spec, X_loc, t.astype(jnp.float32))
+            F_full_t = jax.lax.all_gather(F_loc_t, "data", axis=0, tiled=True)
+            Kt = gram_from_features(spec, F_full_t)
+            r, _ = masked_nll_core(
+                Kt.astype(dtype), y_full.astype(dtype), m_full.astype(dtype),
+                noise_std, compute_cond=compute_cond, fallback=psd_fallback,
+            )
+            return r.nll / n_data_cols, r
 
-    n_params = z32.shape[0]
+        t_at = jax.lax.pcast(z_manifold.astype(dtype), "agents", to="varying")
+        (_, res), grad = jax.value_and_grad(loss, has_aux=True)(t_at)
+    else:
+        # Row-sharded features -> full feature matrix (tiny) via all-gather.
+        F_loc = kernel_features(spec, X_loc, z32)
+        F_full = jax.lax.all_gather(F_loc, "data", axis=0, tiled=True)
 
-    def shift_body(carry, p):
-        e = jax.nn.one_hot(p, n_params, dtype=z32.dtype)
-        t_plus = jnp.mod(z32 + shift_value * e, M.PERIOD)
-        t_minus = jnp.mod(z32 - shift_value * e, M.PERIOD)
-        Fp_loc = kernel_features(spec, X_loc, t_plus)
-        Fm_loc = kernel_features(spec, X_loc, t_minus)
-        Fp_full = jax.lax.all_gather(Fp_loc, "data", axis=0, tiled=True)
-        Fm_full = jax.lax.all_gather(Fm_loc, "data", axis=0, tiled=True)
-        # (N_loc, N) panels of the shifted Grams — rows local, columns all.
-        Kp_panel = gram_from_features(spec, Fp_loc, Fp_full)
-        Km_panel = gram_from_features(spec, Fm_loc, Fm_full)
-        dk = ((Kp_panel - Km_panel) / (2.0 * shift_value)).astype(cdt) * m2_loc
-        # tr[B dK] = sum_{r local} <B[r, :], dK[r, :]> (B symmetric), psummed.
-        g = 0.5 * jax.lax.psum(jnp.sum(B_loc * dk), "data").astype(dtype)
-        return carry, g
+        # Unshifted Gram + solve, replicated along "data" (see module docstring).
+        K = gram_from_features(spec, F_full)
+        res, bracket = masked_nll_core(
+            K.astype(dtype), y_full.astype(dtype), m_full.astype(dtype), noise_std,
+            compute_cond=compute_cond, fallback=psd_fallback, solver=solver,
+        )
+        # mixed: contract panels in f32 (see consensus._agent_local)
+        cdt = contraction_dtype(solver, dtype)
+        # This device's row block of the (symmetric) bracket and of the mask.
+        B_loc = jax.lax.dynamic_slice_in_dim(bracket, col * n_loc, n_loc,
+                                             axis=0).astype(cdt)
+        m2_loc = (m_loc[:, None] * m_full[None, :]).astype(cdt)
 
-    _, grad = jax.lax.scan(shift_body, None, jnp.arange(n_params))
+        n_params = z32.shape[0]
+
+        def shift_body(carry, p):
+            e = jax.nn.one_hot(p, n_params, dtype=z32.dtype)
+            t_plus = jnp.mod(z32 + shift_value * e, M.PERIOD)
+            t_minus = jnp.mod(z32 - shift_value * e, M.PERIOD)
+            Fp_loc = kernel_features(spec, X_loc, t_plus)
+            Fm_loc = kernel_features(spec, X_loc, t_minus)
+            Fp_full = jax.lax.all_gather(Fp_loc, "data", axis=0, tiled=True)
+            Fm_full = jax.lax.all_gather(Fm_loc, "data", axis=0, tiled=True)
+            # (N_loc, N) panels of the shifted Grams — rows local, columns all.
+            Kp_panel = gram_from_features(spec, Fp_loc, Fp_full)
+            Km_panel = gram_from_features(spec, Fm_loc, Fm_full)
+            dk = ((Kp_panel - Km_panel) / (2.0 * shift_value)).astype(cdt) * m2_loc
+            # tr[B dK] = sum_{r local} <B[r, :], dK[r, :]> (B symmetric), psummed.
+            g = 0.5 * jax.lax.psum(jnp.sum(B_loc * dk), "data").astype(dtype)
+            return carry, g
+
+        _, grad = jax.lax.scan(shift_body, None, jnp.arange(n_params))
 
     grad = M.round4(grad) if parity_round else grad
     theta_i = M.admm_update_theta(z_manifold, grad, psi_i, rho, L)
@@ -157,12 +195,19 @@ def make_admm_step_2d(
     compute_cond: bool = False,
     gp_dtype: str = "float64",
     psd_fallback: bool = True,
+    grad_method: str = "central",
 ):
     """Jitted ADMM iteration over an ("agents", "data") mesh.
 
     Expects theta/psi sharded P("agents") and the AgentBatch sharded
     P("agents", "data") (see ``shard_batch_to_mesh_2d``). Agent count must
     divide by mesh rows; per-agent padded size by mesh columns.
+
+    ``grad_method``: "central"/"streamed" run the reference's h=pi/8 central
+    difference as a panel scan (they are the same computation here — the 2-D
+    path is streamed by construction); "autodiff" differentiates through the
+    sharded statevector + Cholesky forward pass (exact gradients, one
+    forward+backward instead of 2P panel sweeps).
     """
     if spec.regularization is not None:
         raise NotImplementedError(
@@ -176,6 +221,7 @@ def make_admm_step_2d(
         rho=rho, L=L, noise_std=noise_std, shift_value=shift_value,
         parity_round=parity_round, compute_cond=compute_cond,
         gp_dtype=gp_dtype, psd_fallback=psd_fallback,
+        grad_method=grad_method, n_data_cols=mesh.shape["data"],
     )
 
     def body(theta, psi, X, Y, m):

@@ -215,6 +215,28 @@ def test_mesh2d_trains_where_dense_dk_would_blow_up():
     assert not np.array_equal(np.asarray(out.theta), np.asarray(theta))
 
 
+def test_driver_train_2d_autodiff():
+    """driver.train(data_mesh_cols=2, grad_method='autodiff') — the r2
+    NotImplementedError is gone; the 2-D autodiff trajectory matches the
+    1-D autodiff driver run."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dqgp_tpu.driver import TrainConfig, train
+
+    spec = _spec()
+    rng = np.random.RandomState(7)
+    X = rng.uniform(-0.9, 0.9, (96, 2))
+    Y = np.sin(3 * X[:, 0]) + 0.2 * rng.randn(96)
+    splits = split_data_numpy(X, Y, 4, "sequential")
+
+    base = dict(max_iter=2, verbose=False, compute_cond=False,
+                grad_method="autodiff")
+    r1 = train(spec, splits, X, Y, TrainConfig(**base))
+    r2 = train(spec, splits, X, Y, TrainConfig(**base, data_mesh_cols=2))
+    np.testing.assert_array_equal(np.round(r1.z, 4), np.round(r2.z, 4))
+    assert abs(r1.cv_best - r2.cv_best) < 1e-6
+
+
 def test_driver_train_on_2d_mesh():
     """driver.train(data_mesh_cols=2) runs the full training loop (CV, best-z
     tracking) on the agents x data mesh and matches the 1-D path's selected
@@ -234,6 +256,71 @@ def test_driver_train_on_2d_mesh():
     r2 = train(spec, splits, X, Y, TrainConfig(**base, data_mesh_cols=2))
     np.testing.assert_array_equal(np.round(r1.z, 4), np.round(r2.z, 4))
     assert abs(r1.cv_best - r2.cv_best) < 1e-6
+
+
+@pytest.mark.parametrize("rows,cols", [(4, 2), (2, 3)])
+def test_mesh2d_autodiff_matches_1d_autodiff(rows, cols):
+    """grad_method='autodiff' on the agents x data mesh must produce the same
+    exact gradients as the single-device autodiff path (VERDICT r2 #4). Two
+    sharp edges this pins: the loss/n_cols scaling against the all_gather
+    transpose's replica-cotangent sum (wrong scaling = factor-of-cols error
+    in theta), and the pcast-to-varying of the differentiation point over
+    "agents" (without it the unvarying-input gradient rule psums every mesh
+    row's gradient into every agent)."""
+    if len(jax.devices()) < rows * cols:
+        pytest.skip("needs 8 virtual devices")
+    spec = _spec()
+    n_agents = 4
+    batch, theta, psi = _problem(spec, 12 * n_agents, n_agents)  # 12 % cols == 0
+
+    ref_step = make_admm_step(
+        spec, None, rho=100.0, L=100.0, noise_std=0.1,
+        compute_cond=False, grad_method="autodiff", parity_round=False,
+    )
+    ref = _run(ref_step, theta, psi, batch, iters=1)[-1]
+
+    mesh = agents_data_mesh(rows, cols)
+    batch2, theta2, psi2 = shard_batch_to_mesh_2d(batch, theta, psi, mesh)
+    step2 = make_admm_step_2d(
+        spec, mesh, rho=100.0, L=100.0, noise_std=0.1, compute_cond=False,
+        grad_method="autodiff", parity_round=False,
+    )
+    got = _run(step2, theta2, psi2, batch2, iters=1)[-1]
+
+    # f32 features vectorize differently (sharded rows vs one batch) ->
+    # ~1e-7 Gram noise; gradients enter theta scaled by 1/(rho+L).
+    np.testing.assert_allclose(np.asarray(ref.theta), np.asarray(got.theta),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref.nll), np.asarray(got.nll),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ref.z), np.asarray(got.z),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_mesh2d_autodiff_parity_rounding_trajectory():
+    """With 4-dp rounding, the 2-D autodiff trajectory matches the 1-D
+    autodiff trajectory step for step (rounding absorbs reduction noise)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    spec = _spec()
+    batch, theta, psi = _problem(spec, 48, 4)
+
+    ref_step = make_admm_step(
+        spec, None, rho=100.0, L=100.0, noise_std=0.1,
+        compute_cond=False, grad_method="autodiff", parity_round=True,
+    )
+    ref = _run(ref_step, theta, psi, batch)
+
+    mesh = agents_data_mesh(4, 2)
+    batch2, theta2, psi2 = shard_batch_to_mesh_2d(batch, theta, psi, mesh)
+    step2 = make_admm_step_2d(
+        spec, mesh, rho=100.0, L=100.0, noise_std=0.1, compute_cond=False,
+        grad_method="autodiff", parity_round=True,
+    )
+    got = _run(step2, theta2, psi2, batch2)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a.theta), np.asarray(b.theta))
+        np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
 
 
 def test_mesh2d_rejects_regularization():
