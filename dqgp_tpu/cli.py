@@ -398,11 +398,12 @@ def main(argv=None):
     # --- final prediction + evaluation (main.py:3104-3682) --------------------
     large_n = len(X_train) > max(args.predict_cg_threshold, 1)
     if large_n and spec.regularization is not None:
-        # the matrix-free posterior cannot apply square-Gram regularization;
-        # the dense path can — honor the kernel spec over the speed route
-        log("regularization set: staying on the dense posterior despite "
-            f"n_train={len(X_train)} > --predict-cg-threshold")
-        large_n = False
+        # the matrix-free posterior applies square-Gram regularization via
+        # the low-rank eigenvalue clip (parallel/blocked.py:
+        # make_lowrank_regularizer) — exact when the negative spectrum fits
+        # the clip rank (it does for roundoff-scale negatives)
+        log("regularization set: the CG posterior applies it via the "
+            "low-rank eigenvalue clip")
 
     _cg_predictors = {}
 

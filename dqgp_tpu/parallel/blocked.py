@@ -34,11 +34,130 @@ from ..models.kernels.quantum_kernel import QuantumKernelSpec, gram_from_feature
 def _check_no_regularization(spec: QuantumKernelSpec) -> None:
     if spec.regularization is not None:
         raise NotImplementedError(
-            "Gram regularization (thresholding/tikhonov) requires the full "
-            "eigendecomposition of the training Gram and is incompatible with "
-            "the matrix-free scale-out paths; use the dense posterior or "
+            "Gram regularization (thresholding/tikhonov) on the row-sharded "
+            "multi-chip paths would need a distributed eigensolver; the "
+            "single-chip matrix-free paths (gp_posterior_large, "
+            "make_cg_predictor, nll_large) support it via the low-rank "
+            "eigenvalue clip (make_lowrank_regularizer) — use those, or "
             "regularization=None."
         )
+
+
+class LowRankRegularizer(NamedTuple):
+    """Low-rank correction representing squlearn's square-Gram regularization
+    matrix-free: K_reg = K + V diag(w) V^T + shift * I.
+
+    * thresholding — w_i = -lambda_i for the captured negative eigenvalues
+      (subtracting the negative spectrum == eigenvalue clip at 0), shift = 0.
+    * tikhonov     — w = 0, shift = max(0, -lambda_min) (the reference adds
+      the most negative eigenvalue to the diagonal, main.py:2011-2013 /
+      regularize_gram).
+
+    Exact when ``rank`` >= the number of negative eigenvalues (kernel Grams
+    are PSD in exact arithmetic; negatives come from f32 roundoff and are
+    few and tiny). ``saturated`` is True when every captured pair was
+    negative — the rank budget MAY have missed further negatives; callers
+    can retry with a larger rank.
+
+    Accuracy contract: the eigenpairs come from LOBPCG, not an exact eigh,
+    so the correction carries ~1e-8-absolute eigenvalue tolerance (vs the
+    dense ``regularize_gram``'s LAPACK-exact clip). Downstream NLLs amplify
+    a tikhonov shift error by ~tr(C^-1)/2, so NLL agreement with the dense
+    path is bounded at ~1e-4 absolute — ample for a roundoff-scale clip,
+    but do not assert tighter.
+    """
+
+    V: jax.Array          # (N, r) captured eigenvectors
+    w: jax.Array          # (r,) correction weights (0 for non-negative pairs)
+    shift: jax.Array      # scalar diagonal shift (tikhonov)
+    lambda_min: jax.Array # smallest captured eigenvalue of K
+    saturated: jax.Array  # bool: rank budget possibly insufficient
+
+    def matvec(self, Kv: jax.Array, v: jax.Array) -> jax.Array:
+        """K_reg @ v given K @ v (v: (N,) or (N, R))."""
+        corr = self.V @ (self.w[:, None] * (self.V.T @ jnp.atleast_2d(v.T).T))
+        return Kv + corr.reshape(Kv.shape) + self.shift * v
+
+    def diag_correction(self) -> jax.Array:
+        """diag(K_reg) - diag(K): (N,)."""
+        return jnp.sum(self.V * self.V * self.w[None, :], axis=1) + self.shift
+
+
+def make_lowrank_regularizer_from_matvec(
+    matvec: Callable[[jax.Array], jax.Array],
+    n: int,
+    method: str,
+    rank: int = 16,
+    lobpcg_iters: int = 200,
+    power_iters: int = 24,
+    dtype=jnp.float32,
+) -> LowRankRegularizer:
+    """Low-rank eigenvalue clip from a generic symmetric matvec.
+
+    Finds the ``rank`` smallest eigenpairs of K via LOBPCG on (c I - K)
+    (c >= lambda_max from power iteration, so the operator is PSD and its
+    TOP eigenpairs are K's bottom ones), then builds the correction for
+    ``method`` ('thresholding' | 'tikhonov'). Fully jittable.
+    """
+    if method not in ("thresholding", "tikhonov"):
+        raise ValueError(f"Unknown regularization {method!r}")
+    from jax.experimental.sparse.linalg import lobpcg_standard
+
+    rank = int(min(rank, max(1, n // 5)))  # lobpcg needs n >= ~5k
+
+    # lambda_max upper bound: power iteration + a safety margin.
+    v0 = jnp.ones((n, 1), dtype) + jnp.linspace(0, 0.5, n, dtype=dtype)[:, None]
+
+    def pw(_, v):
+        w_ = matvec(v)
+        return w_ / jnp.maximum(jnp.linalg.norm(w_), jnp.finfo(dtype).tiny)
+
+    v1 = jax.lax.fori_loop(0, power_iters, pw, v0 / jnp.linalg.norm(v0))
+    lam_max = jnp.sum(v1 * matvec(v1))
+    c = 1.05 * jnp.abs(lam_max) + 1e-3
+
+    def flipped(X):
+        return c * X - matvec(X)
+
+    # Deterministic full-rank start block (no RNG inside jit).
+    i = jnp.arange(n, dtype=dtype)[:, None]
+    j = jnp.arange(rank, dtype=dtype)[None, :]
+    X0 = jnp.cos(i * (j + 1) * 0.37 + j) + 1e-3
+    theta, U, _ = lobpcg_standard(flipped, X0.astype(dtype), m=lobpcg_iters)
+    lam = c - theta                                   # ascending smallest of K
+    neg = lam < 0.0
+    if method == "thresholding":
+        w = jnp.where(neg, -lam, 0.0).astype(dtype)
+        shift = jnp.zeros((), dtype)
+    else:  # tikhonov
+        w = jnp.zeros_like(lam).astype(dtype)
+        shift = jnp.maximum(-jnp.min(lam), 0.0).astype(dtype)
+    return LowRankRegularizer(
+        V=U.astype(dtype), w=w, shift=shift,
+        lambda_min=jnp.min(lam).astype(dtype), saturated=jnp.all(neg),
+    )
+
+
+def make_lowrank_regularizer(
+    spec: QuantumKernelSpec,
+    F: jax.Array,
+    rank: int = 16,
+    block: int = 2048,
+    lobpcg_iters: int = 200,
+    dtype=jnp.float32,
+) -> LowRankRegularizer:
+    """``make_lowrank_regularizer_from_matvec`` on the feature-factored Gram
+    (the training Gram only — squlearn regularizes square Grams, never the
+    cross Grams, quantum_kernel.regularize_gram)."""
+    n = F.shape[0]
+    mask = jnp.ones((n,), dtype)
+
+    def mv(v):
+        return gram_matvec(spec, F, v.astype(dtype), mask, block)
+
+    return make_lowrank_regularizer_from_matvec(
+        mv, n, spec.regularization, rank=rank, lobpcg_iters=lobpcg_iters,
+        dtype=dtype)
 
 
 def _pad_rows(F: jax.Array, block: int) -> Tuple[jax.Array, int]:
@@ -65,6 +184,11 @@ def gram_matvec(
     block: int = 2048,
 ) -> jax.Array:
     """(K ∘ mask) @ v without materializing K; O(N * block) live memory."""
+    # Clamp the tile width to N rounded up to a lane-friendly multiple:
+    # padding a small problem to a full default block (e.g. 216 -> 2048)
+    # wastes up to ~10x compute per matvec and bloats compile-time constant
+    # folding. Shapes are static under jit, so this is a trace-time choice.
+    block = min(block, max(256, -(-F.shape[0] // 256) * 256))
     Fp, n_pad = _pad_rows(F, block)
     mp, _ = _pad_rows(row_mask[:, None], block)
     vp, _ = _pad_rows(v, block)
@@ -159,18 +283,33 @@ def _cg_setup(
 ):
     """Shared per-(F_train) CG state: the matvec closure, the preconditioner
     (rank-k pivoted-Cholesky/Woodbury, or Jacobi at rank 0), and the alpha
-    solve. Used by ``gp_posterior_large`` and ``make_cg_predictor``."""
+    solve. Used by ``gp_posterior_large`` and ``make_cg_predictor``.
+
+    ``spec.regularization`` is honored via the low-rank eigenvalue clip:
+    the matvec becomes K_reg @ v (+ sigma^2 v). The correction's magnitude
+    is ~|lambda_min| (f32 roundoff scale), so the Woodbury preconditioner
+    built from the UNregularized K stays an excellent preconditioner for
+    K_reg and is not modified."""
     n = F_train.shape[0]
     mask = jnp.ones((n,), dtype)
 
+    reg = None
+    if spec.regularization is not None:
+        reg = make_lowrank_regularizer(spec, F_train, block=block, dtype=dtype)
+
     def A(v):
-        return gram_matvec(spec, F_train, v, mask, block) + sigma2 * v
+        Kv = gram_matvec(spec, F_train, v, mask, block)
+        if reg is not None:
+            Kv = reg.matvec(Kv, v)
+        return Kv + sigma2 * v
 
     if precond_rank > 0:
         Lp = pivoted_cholesky(spec, F_train, min(precond_rank, n))
         precond = woodbury_preconditioner(Lp.astype(dtype), sigma2)
     else:
         precond = _k_diag(spec, F_train, dtype) + sigma2
+        if reg is not None:
+            precond = precond + reg.diag_correction()
 
     res = cg_solve(A, y_train[:, None].astype(dtype), cg_tol, cg_maxiter, precond)
     return A, precond, res
@@ -204,7 +343,6 @@ def gp_posterior_large(
     check ``res.residual_norm <= cg_tol`` before trusting the outputs
     (a maxiter-capped solve returns without converging).
     """
-    _check_no_regularization(spec)
     dtype = y_train.dtype
     sigma2 = noise_std**2 + jitter
     A, precond, res = _cg_setup(spec, F_train, y_train, sigma2, block,
@@ -367,13 +505,19 @@ def _gram_free_blocked_cholesky_slabs(
 ):
     from jax.scipy.linalg import solve_triangular
 
-    _check_no_regularization(spec)
     n = F.shape[0]
+    # Low-rank regularization is built on the UNPADDED rows (its V is then
+    # row-padded with zeros, so padded rows stay an identity block).
+    reg = None
+    if spec.regularization is not None:
+        reg = make_lowrank_regularizer(spec, F, block=block, dtype=dtype)
     n_pad = ((n + block - 1) // block) * block
     mask = jnp.ones((n,), dtype)
     if n_pad != n:
         F = jnp.pad(F, ((0, n_pad - n),) + ((0, 0),) * (F.ndim - 1))
         mask = jnp.pad(mask, (0, n_pad - n))
+        if reg is not None:
+            reg = reg._replace(V=jnp.pad(reg.V, ((0, n_pad - n), (0, 0))))
     sigma2 = noise_std**2 + jitter
     nb = n_pad // block
 
@@ -381,6 +525,14 @@ def _gram_free_blocked_cholesky_slabs(
         F_k = jax.lax.dynamic_slice_in_dim(F, k * block, block, 0)
         m_k = jax.lax.dynamic_slice_in_dim(mask, k * block, block, 0)
         P = gram_from_features(spec, F, F_k).astype(dtype)
+        if reg is not None:
+            V_k = jax.lax.dynamic_slice_in_dim(reg.V, k * block, block, 0)
+            P = P + (reg.V * reg.w[None, :]) @ V_k.T
+            if spec.regularization == "tikhonov":
+                row_ids_ = jnp.arange(n_pad)[:, None]
+                col_ids_ = k * block + jnp.arange(block)[None, :]
+                on_diag_ = (row_ids_ == col_ids_).astype(dtype)
+                P = P + reg.shift * on_diag_ * m_k[None, :]
         P = P * (mask[:, None] * m_k[None, :])
         row_ids = jnp.arange(n_pad)[:, None]
         col_ids = k * block + jnp.arange(block)[None, :]
@@ -708,7 +860,6 @@ def make_cg_predictor(
     (the alpha solve is checked at factory time, the per-chunk variance
     solves once per predict() call — one scalar fetch each).
     """
-    _check_no_regularization(spec)
     import warnings
 
     from ..models.kernels.quantum_kernel import kernel_features
