@@ -734,6 +734,7 @@ def train(
 
     it = start_iter
     t0 = time.time()
+    idx_cache = None  # (start_iter, uploaded idx buffer) for the next chunk
     while True:
         # ==== chained mode: one dispatch + ONE fetch per chain_k iterations
         if chained_step is not None:
@@ -741,11 +742,21 @@ def train(
             try:
                 if cfg.run_cv:
                     t_idx = time.time()
-                    idx_packed = pack_chunk_indices(it)  # ONE upload
+                    if idx_cache is not None and idx_cache[0] == it:
+                        idx_packed = idx_cache[1]  # pre-uploaded last chunk
+                    else:
+                        idx_packed = pack_chunk_indices(it)  # ONE upload
                     t_up = time.time()
                     th_n, ps_n, rows_dev = chained_step(theta, psi, batch,
                                                         Xtr_j, Ytr_j,
                                                         idx_packed)
+                    # Speculatively pack + upload the NEXT chunk's fold
+                    # indices now, while the device executes this chunk —
+                    # the host work and the ~8 ms relay transfer hide
+                    # behind the fetch below (wasted only on a mid-chunk
+                    # stop, which ends the loop anyway).
+                    idx_cache = (it + chain_k,
+                                 pack_chunk_indices(it + chain_k))
                 else:
                     t_idx = t_up = time.time()
                     th_n, ps_n, rows_dev = chained_step(theta, psi, batch)
