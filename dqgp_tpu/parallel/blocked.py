@@ -31,18 +31,6 @@ from ..models.gp.metrics import outer_diag
 from ..models.kernels.quantum_kernel import QuantumKernelSpec, gram_from_features
 
 
-def _check_no_regularization(spec: QuantumKernelSpec) -> None:
-    if spec.regularization is not None:
-        raise NotImplementedError(
-            "Gram regularization (thresholding/tikhonov) on the row-sharded "
-            "multi-chip paths would need a distributed eigensolver; the "
-            "single-chip matrix-free paths (gp_posterior_large, "
-            "make_cg_predictor, nll_large) support it via the low-rank "
-            "eigenvalue clip (make_lowrank_regularizer) — use those, or "
-            "regularization=None."
-        )
-
-
 class LowRankRegularizer(NamedTuple):
     """Low-rank correction representing squlearn's square-Gram regularization
     matrix-free: K_reg = K + V diag(w) V^T + shift * I.
@@ -158,6 +146,81 @@ def make_lowrank_regularizer(
     return make_lowrank_regularizer_from_matvec(
         mv, n, spec.regularization, rank=rank, lobpcg_iters=lobpcg_iters,
         dtype=dtype)
+
+
+def make_sharded_lowrank_regularizer(
+    spec: QuantumKernelSpec,
+    mesh,
+    rank: int = 16,
+    block: int = 2048,
+    lobpcg_iters: int = 200,
+    data_axis: str = "data",
+    dtype=jnp.float32,
+):
+    """``make_lowrank_regularizer`` with the Gram's rows sharded over
+    ``data_axis`` — the distributed eigensolver the multi-chip paths need.
+
+    Returns a jitted ``build(F_local, mask_local) -> LowRankRegularizer``
+    with F/mask row-sharded along ``data_axis``. The K @ X products inside
+    LOBPCG run as shard_map programs (each device streams column blocks of
+    its row panel and keeps its rows of the result); LOBPCG's own small
+    (r x r) algebra runs under ordinary jit sharding propagation. The
+    returned V's rows carry whatever sharding propagation assigns — pass it
+    through an explicit in_spec when consuming it inside shard_map.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def matmat(F, m, X):
+        def body(F_local, m_local, X_full):
+            F_full = jax.lax.all_gather(F_local, data_axis, tiled=True)
+            m_full = jax.lax.all_gather(m_local, data_axis, tiled=True)
+            n_full = F_full.shape[0]
+            if n_full <= block:
+                rows = gram_from_features(spec, F_local, F_full).astype(X_full.dtype)
+                rows = rows * (m_local[:, None] * m_full[None, :])
+                return rows @ X_full
+            Fp, n_pad = _pad_rows(F_full, block)
+            mp, _ = _pad_rows(m_full[:, None], block)
+            Xp, _ = _pad_rows(X_full, block)
+            nbk = n_pad // block
+            Fb = Fp.reshape(nbk, block, Fp.shape[-1])
+            mb = mp.reshape(nbk, block, 1)
+            Xb = Xp.reshape(nbk, block, Xp.shape[-1])
+
+            def tile(carry, xs):
+                F_j, m_j, X_j = xs
+                K_cols = gram_from_features(spec, F_local, F_j).astype(X_full.dtype)
+                K_cols = K_cols * (m_local[:, None] * m_j.transpose(1, 0))
+                return carry + K_cols @ X_j, None
+
+            acc0 = jnp.zeros((F_local.shape[0], X_full.shape[-1]), X_full.dtype)
+            try:
+                acc0 = jax.lax.pcast(acc0, (data_axis,), to="varying")
+            except (AttributeError, TypeError):
+                acc0 = jax.lax.pvary(acc0, (data_axis,))
+            out, _ = jax.lax.scan(tile, acc0, (Fb, mb, Xb))
+            return out
+
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(data_axis), P(data_axis), P()),
+            out_specs=P(data_axis),
+        )(F, m, X)
+
+    @jax.jit
+    def build(F_local, mask_local):
+        n = F_local.shape[0]
+
+        def mv(X):
+            X2 = jnp.atleast_2d(X.T).T.astype(dtype)
+            out = matmat(F_local, mask_local.astype(dtype), X2)
+            return out.reshape(X.shape)
+
+        return make_lowrank_regularizer_from_matvec(
+            mv, n, spec.regularization, rank=rank,
+            lobpcg_iters=lobpcg_iters, dtype=dtype)
+
+    return build
 
 
 def _pad_rows(F: jax.Array, block: int) -> Tuple[jax.Array, int]:
@@ -388,16 +451,29 @@ def make_sharded_posterior(
     ``block`` bounds each device's live Gram tile to (N_local, block): the
     matvec streams column blocks of the local row panel through a scan
     (N <= block short-circuits to one dense panel per product).
+
+    ``spec.regularization`` is honored via the sharded low-rank eigenvalue
+    clip (``make_sharded_lowrank_regularizer``): the training-Gram matvec
+    becomes K_reg @ v. Like the single-chip CG paths, the correction is
+    roundoff-scale, so the Jacobi preconditioner just adds its diagonal.
     """
     from jax.sharding import PartitionSpec as P
 
-    _check_no_regularization(spec)
     sigma2 = noise_std**2 + jitter
+    regularized = spec.regularization is not None
+    reg_build = (make_sharded_lowrank_regularizer(
+        spec, mesh, block=block, data_axis=data_axis)
+        if regularized else None)
 
-    def body(F_local, y_local, m_local, F_test):
+    def body(F_local, y_local, m_local, F_test, V_local, w, shift):
         F_full = jax.lax.all_gather(F_local, data_axis, tiled=True)
         m_full = jax.lax.all_gather(m_local, data_axis, tiled=True)
         n_full = F_full.shape[0]
+
+        def reg_corr(v_local):
+            # (V diag(w) V^T + shift I) @ v with V rows sharded like v.
+            vtv = jax.lax.psum(V_local.T @ v_local, data_axis)   # (r, R)
+            return V_local @ (w[:, None] * vtv) + shift * v_local
 
         def k_diag(F):
             return _k_diag(spec, F, y_local.dtype)
@@ -407,7 +483,10 @@ def make_sharded_posterior(
             if n_full <= block:
                 rows = gram_from_features(spec, F_local, F_full).astype(v_local.dtype)
                 rows = rows * (m_local[:, None] * m_full[None, :])
-                return rows @ v_full + sigma2 * v_local
+                Kv = rows @ v_full
+                if regularized:
+                    Kv = Kv + reg_corr(v_local)
+                return Kv + sigma2 * v_local
             # stream column blocks: live tile is (N_local, block)
             Fp, n_pad = _pad_rows(F_full, block)
             mp, _ = _pad_rows(m_full[:, None], block)
@@ -430,9 +509,15 @@ def make_sharded_posterior(
             except (AttributeError, TypeError):  # older jax spells it pvary
                 acc0 = jax.lax.pvary(acc0, (data_axis,))
             out, _ = jax.lax.scan(tile, acc0, (Fb, mb, vb))
+            if regularized:
+                out = out + reg_corr(v_local)
             return out + sigma2 * v_local
 
         diag_local = k_diag(F_local) + sigma2
+        if regularized:
+            diag_local = diag_local + (
+                jnp.sum(V_local * V_local * w[None, :], axis=1) + shift
+            ).astype(diag_local.dtype)
         res = cg_solve(A, (y_local * m_local)[:, None], cg_tol, cg_maxiter,
                        diag_local, axis_name=data_axis)
         alpha_local = res.x
@@ -447,12 +532,31 @@ def make_sharded_posterior(
         var = jnp.maximum(k_diag(F_test) - quad, 1e-10)
         return mean, var
 
-    return jax.jit(jax.shard_map(
+    jitted = jax.jit(jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(data_axis), P(data_axis), P(data_axis), P()),
+        in_specs=(P(data_axis), P(data_axis), P(data_axis), P(),
+                  P(data_axis), P(), P()),
         out_specs=(P(), P()),
     ))
+
+    if not regularized:
+        z0 = jnp.zeros((), jnp.float32)
+
+        def predict(F_local, y_local, m_local, F_test):
+            # dummy rank-0 correction (V has 1 zero column so specs line up)
+            V0 = jnp.zeros((F_local.shape[0], 1), jnp.float32)
+            return jitted(F_local, y_local, m_local, F_test, V0,
+                          jnp.zeros((1,), jnp.float32), z0)
+
+        return predict
+
+    def predict(F_local, y_local, m_local, F_test):
+        reg = reg_build(F_local, m_local)
+        return jitted(F_local, y_local, m_local, F_test, reg.V, reg.w,
+                      reg.shift)
+
+    return predict
 
 
 # ---------------------------------------------------------------------------
@@ -732,11 +836,18 @@ def make_distributed_cholesky_nll(
     Returns fn(F_local, y_local) -> (nll, log_det_term, quadratic_term,
     constant_term) with F (N, D) and y (N,) sharded along rows; outputs
     replicated scalars.
+
+    ``spec.regularization`` is honored via the sharded low-rank eigenvalue
+    clip: each Gram panel gains its slice of V diag(w) V^T (+ shift on the
+    diagonal for tikhonov) before factoring.
     """
     from jax.scipy.linalg import solve_triangular
     from jax.sharding import PartitionSpec as P
 
-    _check_no_regularization(spec)
+    regularized = spec.regularization is not None
+    reg_build = (make_sharded_lowrank_regularizer(
+        spec, mesh, block=min(2048, n_total), data_axis=data_axis,
+        dtype=dtype) if regularized else None)
     n_dev = mesh.shape[data_axis]
     if n_total % block != 0:
         raise ValueError(f"n_total={n_total} must be divisible by block={block}")
@@ -746,18 +857,24 @@ def make_distributed_cholesky_nll(
     rows_local = n_total // n_dev
     sigma2 = noise_std**2 + jitter
 
-    def body(F_local, y_local):
+    def body(F_local, y_local, V_local, w, shift):
         d = jax.lax.axis_index(data_axis)
         row0 = d * rows_local
         row_ids = row0 + jnp.arange(rows_local)                  # global rows
         F_full = jax.lax.all_gather(F_local, data_axis, tiled=True)
+        if regularized:
+            V_full = jax.lax.all_gather(V_local, data_axis, tiled=True)
 
         def k_panel_local(k):
-            """Local rows of (K + sigma^2 I)[:, kB:(k+1)B]."""
+            """Local rows of (K_reg + sigma^2 I)[:, kB:(k+1)B]."""
             F_k = jax.lax.dynamic_slice_in_dim(F_full, k * block, block, 0)
             Pnl = gram_from_features(spec, F_local, F_k).astype(dtype)
             col_ids = k * block + jnp.arange(block)[None, :]
             on_diag = (row_ids[:, None] == col_ids).astype(dtype)
+            if regularized:
+                V_k = jax.lax.dynamic_slice_in_dim(V_full, k * block, block, 0)
+                Pnl = Pnl + (V_local * w[None, :]).astype(dtype) @ V_k.T.astype(dtype)
+                Pnl = Pnl + shift.astype(dtype) * on_diag
             return Pnl + sigma2 * on_diag
 
         def extract_strip(M_local, k):
@@ -815,18 +932,32 @@ def make_distributed_cholesky_nll(
             w_k = solve_triangular(L_kk_cols, rhs, lower=True)
             return jax.lax.dynamic_update_slice_in_dim(w_full, w_k, k * block, 0)
 
-        w = jax.lax.fori_loop(0, nb, fwd_step, jnp.zeros((n_total,), dtype))
-        quad = 0.5 * jnp.sum(w * w)
+        wv = jax.lax.fori_loop(0, nb, fwd_step, jnp.zeros((n_total,), dtype))
+        quad = 0.5 * jnp.sum(wv * wv)
         ld = 0.5 * logdet
         const = 0.5 * n_total * jnp.log(2.0 * jnp.pi)
         nll = ld + quad + const
         return nll, ld, quad, const
 
-    return jax.jit(jax.shard_map(
+    jitted = jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(data_axis), P(data_axis)),
+        in_specs=(P(data_axis), P(data_axis), P(data_axis), P(), P()),
         out_specs=(P(), P(), P(), P()),
     ))
+
+    if not regularized:
+        def nll_fn(F_local, y_local):
+            V0 = jnp.zeros((n_total, 1), dtype)
+            return jitted(F_local, y_local, V0, jnp.zeros((1,), dtype),
+                          jnp.zeros((), dtype))
+
+        return nll_fn
+
+    def nll_fn(F_local, y_local):
+        reg = reg_build(F_local, jnp.ones((n_total,), dtype))
+        return jitted(F_local, y_local, reg.V, reg.w, reg.shift)
+
+    return nll_fn
 
 
 def make_cg_predictor(
