@@ -50,15 +50,17 @@ class TrainConfig:
     compute_cond: bool = True       # per-iteration condition numbers (eigvalsh)
     cond_mode: str = "auto"         # where the (reporting-only) condition
                                     # numbers compute: "device" fuses them
-                                    # into the step program; "host" rebuilds
-                                    # each agent's noise-free Gram on the CPU
-                                    # backend and takes an exact f64 eigvalsh
-                                    # — zero accelerator time (the in-program
-                                    # f64 path costs ~118 ms/iter at the
-                                    # north star on emulated-f64 TPU, 12x
-                                    # the rest of the program). "auto" =
-                                    # host on accelerator backends, device
-                                    # on CPU.
+                                    # into the step program (f32-built Gram);
+                                    # "host" rebuilds each agent's noise-free
+                                    # Gram in full f64 (complex128 states) on
+                                    # the CPU backend and takes an exact f64
+                                    # eigvalsh — zero accelerator time (the
+                                    # in-program f64 path costs ~118 ms/iter
+                                    # at the north star on emulated-f64 TPU,
+                                    # 12x the rest of the program) and the
+                                    # reference's np.linalg.cond f64
+                                    # semantics. "auto" = host on accelerator
+                                    # backends, device on CPU.
     gp_dtype: str = "auto"          # GP linalg dtype: "auto" = float64 on
                                     # CPU/GPU, "mixed" on TPU (f64-grade via
                                     # f32 factor + f64 refinement, ~29x
@@ -163,12 +165,12 @@ def load_checkpoint(path: str):
 def host_cpu_agent_arrays(
     agent_data_splits: Sequence[Tuple[np.ndarray, np.ndarray]],
 ) -> list:
-    """Per-agent X arrays as f32 on the host CPU device, for reuse across
+    """Per-agent X arrays as f64 on the host CPU device, for reuse across
     repeated ``host_condition_numbers`` calls (the per-iteration verbose
     path would otherwise re-upload every agent's X each call)."""
     cpu = jax.devices("cpu")[0]
     return [
-        jax.device_put(jnp.asarray(np.asarray(X_i), jnp.float32), cpu)
+        jax.device_put(jnp.asarray(np.asarray(X_i), jnp.float64), cpu)
         for X_i, _ in agent_data_splits
     ]
 
@@ -187,20 +189,22 @@ def host_condition_numbers(
     quantity. On emulated-f64 accelerator backends the in-program estimator
     costs more than the entire rest of the training iteration (f64 Cholesky
     + explicit inverse, ~118 ms/iter at the north star), so the driver's
-    "host" cond mode rebuilds K(X_i, z) here — same f32 feature pipeline the
-    device used — and takes an f64 eigvalsh on the CPU backend, for every
-    recorded iteration at once. Unlike the device path there is no shard
-    padding: each agent's true n_i x n_i Gram is conditioned, as the
-    reference does. The eigvalsh is exact w.r.t. the f32-BUILT Gram (this
-    framework constructs all Gram entries at f32 feature accuracy), so cond
-    readings beyond ~1e7-1e8 reflect construction noise, not the true f64
-    spectrum — identically true of the in-program device estimator.
+    "host" cond mode rebuilds K(X_i, z) here — through the complex128
+    statevector pipeline (``gram(..., dtype=float64)``) — and takes an f64
+    eigvalsh on the CPU backend, for every recorded iteration at once.
+    Unlike the device path there is no shard padding: each agent's true
+    n_i x n_i Gram is conditioned, as the reference does. Because the Gram
+    entries themselves carry f64 accuracy here (the reference simulates in
+    double-precision qiskit-aer and calls ``np.linalg.cond`` on the result,
+    agent_riemannian.py:411), this path fully resolves the reference's
+    1e12/1e15 condition buckets — unlike the in-program "device" estimator,
+    whose f32-built Gram caps meaningful readings at ~1e7-1e8.
 
     z_rows: (T, P) consensus/parameter rows. Returns (T, A) float64.
     """
     from . import config as _config
 
-    Z_np = np.asarray(z_rows, np.float64).reshape(-1, z_rows.shape[-1]).astype(np.float32)
+    Z_np = np.asarray(z_rows, np.float64).reshape(-1, z_rows.shape[-1])
     T = Z_np.shape[0]
     out = np.empty((T, len(agent_data_splits)), np.float64)
     cpu = jax.devices("cpu")[0]
@@ -212,7 +216,7 @@ def host_condition_numbers(
     # row does not pay 16 rows of eigvalsh work).
     CHUNK = max(1, int(chunk))
     T_pad = ((T + CHUNK - 1) // CHUNK) * CHUNK
-    Z_pad = np.zeros((T_pad, Z_np.shape[1]), np.float32)
+    Z_pad = np.zeros((T_pad, Z_np.shape[1]), np.float64)
     Z_pad[:T] = Z_np
     # The Pallas circuit kernel is pallas.tpu code and pallas_enabled() keys
     # off the process's DEFAULT backend — force the XLA gate-by-gate feature
@@ -245,8 +249,11 @@ def _host_cond_batch(spec, Zb, Xa):
         # wrap exactly as the device step does (_agent_local wraps z before
         # building K): with parity rounding a component can be 3.1416 > pi,
         # and circuit angles are affine in theta, not pi-periodic — the
-        # unwrapped row would condition a materially different Gram
-        K = gram(spec, Xa, M.wrap(z)).astype(jnp.float64)
+        # unwrapped row would condition a materially different Gram.
+        # dtype=float64 runs the complex128 statevector pipeline: Gram
+        # entries at the reference's double-precision qiskit-aer accuracy,
+        # so the eigvalsh below reproduces np.linalg.cond's f64 semantics.
+        K = gram(spec, Xa, M.wrap(z), dtype=jnp.float64)
         w = jnp.abs(jnp.linalg.eigvalsh(K))
         tiny = jnp.finfo(jnp.float64).tiny
         return jnp.max(w) / jnp.maximum(jnp.min(w), tiny)

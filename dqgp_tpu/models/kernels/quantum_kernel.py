@@ -122,6 +122,13 @@ def features_from_angles(spec: QuantumKernelSpec, angles: jax.Array) -> jax.Arra
     Dispatches to the fused Pallas circuit kernel on TPU (config.pallas_enabled)
     or the XLA gate-by-gate engine elsewhere; both are bit-tested against each
     other. Shapes: (B, 2^n) complex for fidelity, (B, D) float32 for projected.
+
+    Precision follows ``angles.dtype``: float64 angles (from
+    ``angle_matrix(..., dtype=float64)``) run the whole pipeline in
+    complex128/float64 on the XLA path — the reference-grade precision of
+    qiskit-aer's double-precision statevectors, used by CPU reporting paths
+    like the driver's host condition-number backfill. The Pallas kernel is
+    f32-only, so f64 requests always take the XLA engine.
     """
     from ... import config as _config
     from ...ops.pallas_circuit import (
@@ -130,7 +137,9 @@ def features_from_angles(spec: QuantumKernelSpec, angles: jax.Array) -> jax.Arra
     )
 
     n = spec.circuit.num_qubits
-    use_pallas = _config.pallas_enabled(n)
+    f64 = angles.dtype == jnp.float64
+    cdtype = jnp.complex128 if f64 else jnp.complex64
+    use_pallas = _config.pallas_enabled(n) and not f64
     m = _measurement_selector(spec) if spec.kernel_type == "projected" else None
     simple_paulis = m is not None and all(len(s) == 1 for s in m)
 
@@ -138,26 +147,30 @@ def features_from_angles(spec: QuantumKernelSpec, angles: jax.Array) -> jax.Arra
         if use_pallas:
             full = make_pallas_pauli_features_fn(spec.circuit)(angles)
         else:
-            full = pauli_features(state_from_angles(spec.circuit, angles), n)
+            full = pauli_features(state_from_angles(spec.circuit, angles, cdtype), n)
         blocks = {"X": full[:, :n], "Y": full[:, n : 2 * n], "Z": full[:, 2 * n :]}
         return jnp.concatenate([blocks[c] for c in m], axis=-1)
 
     states = (
         make_pallas_states_fn(spec.circuit)(angles)
         if use_pallas
-        else state_from_angles(spec.circuit, angles)
+        else state_from_angles(spec.circuit, angles, cdtype)
     )
     if spec.kernel_type == "fidelity":
         return states
     # explicit multi-qubit Pauli strings
     cols = [pauli_string_expectation(states, p) for p in m]
-    return jnp.stack(cols, axis=-1).astype(jnp.float32)
+    return jnp.stack(cols, axis=-1).astype(jnp.float64 if f64 else jnp.float32)
 
 
-def kernel_features(spec: QuantumKernelSpec, X: jax.Array, theta: jax.Array) -> jax.Array:
+def kernel_features(
+    spec: QuantumKernelSpec, X: jax.Array, theta: jax.Array, dtype=jnp.float32
+) -> jax.Array:
     """Per-sample features: complex states for fidelity, Pauli-expectation
-    vectors for projected. Shapes: (N, 2^n) complex64 / (N, D) float32."""
-    return features_from_angles(spec, angle_matrix(spec.circuit, X, theta))
+    vectors for projected. Shapes: (N, 2^n) complex64 / (N, D) float32.
+    ``dtype=float64`` runs the reference-grade complex128 pipeline
+    (see ``features_from_angles``)."""
+    return features_from_angles(spec, angle_matrix(spec.circuit, X, theta, dtype))
 
 
 def regularize_gram(K: jax.Array, method: Optional[str]) -> jax.Array:
@@ -206,10 +219,15 @@ def gram(
     XA: jax.Array,
     theta: jax.Array,
     XB: Optional[jax.Array] = None,
+    dtype=jnp.float32,
 ) -> jax.Array:
-    """K(XA, XB; theta). XB=None computes the symmetric training Gram."""
-    FA = kernel_features(spec, XA, theta)
-    FB = None if XB is None else kernel_features(spec, XB, theta)
+    """K(XA, XB; theta). XB=None computes the symmetric training Gram.
+    ``dtype=float64`` builds the Gram through the complex128 statevector
+    pipeline — entry accuracy then matches the reference's double-precision
+    qiskit-aer construction (CPU reporting paths only; the TPU production
+    path stays f32)."""
+    FA = kernel_features(spec, XA, theta, dtype)
+    FB = None if XB is None else kernel_features(spec, XB, theta, dtype)
     return gram_from_features(spec, FA, FB)
 
 

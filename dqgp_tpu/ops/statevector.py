@@ -28,18 +28,26 @@ from .circuit import (
 _SQRT1_2 = 0.7071067811865476
 
 
-def angle_matrix(circuit: Circuit, X: jax.Array, theta: jax.Array) -> jax.Array:
+def angle_matrix(
+    circuit: Circuit, X: jax.Array, theta: jax.Array, dtype=jnp.float32
+) -> jax.Array:
     """Compute the (N, G) rotation-angle matrix for every sample and gate.
 
     angle[n, g] = const_g + pc_g * theta[pidx_g]
                   + (fc_g + pf_g * theta[pidx_g]) * enc_g(X[n, fidx_g])
+
+    ``dtype`` selects the precision of the whole downstream state pipeline:
+    float32 (default, the TPU production path) or float64 (CPU reporting
+    paths that need reference-grade f64 Grams — the reference simulates in
+    double-precision qiskit-aer; under DQGP_X64=0 a float64 request silently
+    degrades to float32 like every other f64 use in the package).
     """
     arr = circuit.static_arrays()
-    Xf = X.astype(jnp.float32)
-    th = theta.astype(jnp.float32)
+    Xf = X.astype(dtype)
+    th = theta.astype(dtype)
 
     # Pad so parameter-free circuits (and pidx=-1 gates clamped to 0) index safely.
-    th_pad = jnp.concatenate([th, jnp.zeros((1,), jnp.float32)])
+    th_pad = jnp.concatenate([th, jnp.zeros((1,), dtype)])
     th_g = th_pad[arr["pidx"]] * arr["has_p"]                  # (G,)
     xg = Xf[:, arr["fidx"]]                                    # (N, G)
     # arccos hard-clipped to its domain; the chebyshev data path additionally
@@ -76,6 +84,13 @@ def _control_mask(control: int, n: int) -> np.ndarray:
     return ((idx >> control) & 1).astype(bool)
 
 
+def _real_dtype(cdtype) -> jnp.dtype:
+    """Real dtype matching a complex state dtype (trig precision must track
+    the state's precision: f32 angles inside a complex128 pipeline would cap
+    the whole f64 path at f32 accuracy)."""
+    return jnp.float64 if cdtype == jnp.complex128 else jnp.float32
+
+
 def apply_gate(state: jax.Array, gate: Gate, angle: jax.Array, n: int) -> jax.Array:
     """Apply one gate to a batch of states. ``angle`` has shape (B,)."""
     q = gate.qubit
@@ -95,8 +110,8 @@ def apply_gate(state: jax.Array, gate: Gate, angle: jax.Array, n: int) -> jax.Ar
         # exp(-i a/2 Z_c Z_t): phase e^{-ia/2} where bits agree, e^{+ia/2} otherwise.
         idx = np.arange(1 << n)
         agree = (((idx >> gate.control) & 1) == ((idx >> q) & 1))
-        sgn = jnp.asarray(np.where(agree, 1.0, -1.0), jnp.float32)
-        half = (0.5 * angle)[:, None]
+        sgn = jnp.asarray(np.where(agree, 1.0, -1.0), _real_dtype(state.dtype))
+        half = (0.5 * angle).astype(_real_dtype(state.dtype))[:, None]
         # e^{-i a/2 * (±1)} = cos(a/2) ∓ i sin(a/2)
         phase = jnp.cos(half) - 1j * sgn[None, :] * jnp.sin(half)
         return state * phase.astype(state.dtype)
@@ -105,7 +120,7 @@ def apply_gate(state: jax.Array, gate: Gate, angle: jax.Array, n: int) -> jax.Ar
         s0, s1 = _split(state, q, n)
         return _merge((s0 + s1) * _SQRT1_2, (s0 - s1) * _SQRT1_2, q, n)
 
-    half = (0.5 * angle).astype(jnp.float32)
+    half = (0.5 * angle).astype(_real_dtype(state.dtype))
     c = jnp.cos(half)[:, None, None].astype(state.dtype)
     s = jnp.sin(half)[:, None, None]
 
@@ -149,7 +164,9 @@ def batched_states(
     circuit: Circuit, X: jax.Array, theta: jax.Array, dtype=jnp.complex64
 ) -> jax.Array:
     """States Psi(x_i; theta) for a whole batch: (N, 2^n)."""
-    return state_from_angles(circuit, angle_matrix(circuit, X, theta), dtype)
+    return state_from_angles(
+        circuit, angle_matrix(circuit, X, theta, _real_dtype(dtype)), dtype
+    )
 
 
 def pauli_features(state: jax.Array, num_qubits: int) -> jax.Array:
@@ -167,7 +184,7 @@ def pauli_features(state: jax.Array, num_qubits: int) -> jax.Array:
         xs.append(2.0 * jnp.real(cross))
         ys.append(2.0 * jnp.imag(cross))
         zs.append(jnp.sum(jnp.abs(s0) ** 2 - jnp.abs(s1) ** 2, axis=(1, 2)))
-    return jnp.stack(xs + ys + zs, axis=-1).astype(jnp.float32)
+    return jnp.stack(xs + ys + zs, axis=-1).astype(_real_dtype(state.dtype))
 
 
 def pauli_string_expectation(state: jax.Array, pauli: str) -> jax.Array:

@@ -257,14 +257,75 @@ def test_host_cond_chunk_boundary():
         z_wrapped = np.mod(Z[t], np.pi)  # independent re-derivation of wrap
         for a, (X_i, _) in enumerate(splits):
             K = np.asarray(
-                gram(spec, jnp.asarray(X_i, jnp.float32),
-                     jnp.asarray(z_wrapped, jnp.float32)), np.float64)
+                gram(spec, jnp.asarray(X_i, jnp.float64),
+                     jnp.asarray(z_wrapped, jnp.float64),
+                     dtype=jnp.float64), np.float64)
             w = np.abs(np.linalg.eigvalsh(K))
             expect = w.max() / max(w.min(), np.finfo(np.float64).tiny)
-            # rtol: Gram entries are f32-accurate and the vmapped build
-            # fuses differently from the direct one — cond moves by
-            # ~cond * eps_f32. Row-mix-ups/padding leaks would be >>1%.
-            np.testing.assert_allclose(out[t, a], expect, rtol=1e-2)
+            # the backfill builds the same f64 Gram (complex128 pipeline);
+            # only vmap-vs-direct fusion noise remains (~cond * eps_f64).
+            # Row-mix-ups/padding leaks would be >>1e-6.
+            np.testing.assert_allclose(out[t, a], expect, rtol=1e-6)
+
+
+def test_host_cond_f64_resolves_beyond_f32_floor():
+    """The host cond backfill builds each Gram through the complex128
+    statevector pipeline, so it resolves condition numbers past the
+    ~1e7-1e8 floor that f32-built Gram entries impose (the reference's
+    np.linalg.cond runs on double-precision qiskit-aer Grams — round-2
+    VERDICT weak #5). Near-duplicate inputs make the true Gram nearly
+    rank-deficient: the tiny eigenvalues are O(dx^2) ~ 1e-14 relative,
+    representable in f64 but pure noise at f32 entry accuracy."""
+    from dqgp_tpu.driver import host_condition_numbers
+    from dqgp_tpu.models.kernels.quantum_kernel import gram
+
+    spec = QuantumKernelSpec(
+        circuit=build_circuit("hubregtsen", 2, 2, 1),
+        kernel_type="projected", outer_kernel="gaussian",
+    )
+    rng = np.random.RandomState(0)
+    base = rng.uniform(-0.9, 0.9, size=(6, 2))
+    X = np.repeat(base, 2, axis=0)          # 6 pairs of near-duplicates
+    X[1::2] += 1e-7                          # feature gap ~1e-7 -> eig ~1e-14
+    Y = rng.standard_normal(len(X))
+    theta = rng.uniform(0, np.pi, size=spec.num_parameters).round(4)
+
+    out = host_condition_numbers(spec, [(X, Y)], theta[None, :])
+    cond_f64 = float(out[0, 0])
+
+    K32 = np.asarray(
+        gram(spec, jnp.asarray(X, jnp.float32), jnp.asarray(theta, jnp.float32)),
+        np.float64)
+    w32 = np.abs(np.linalg.eigvalsh(K32))
+    cond_f32_built = w32.max() / max(w32.min(), np.finfo(np.float64).tiny)
+
+    # f64 pipeline sees the true ~1e13-1e15 conditioning; the f32-built Gram
+    # cannot even represent the pair separation, so its eigvalsh bottoms out
+    # at entry-noise scale (~1e7-1e9).
+    assert cond_f64 > 1e11, cond_f64
+    assert cond_f32_built < 1e11, cond_f32_built
+    assert cond_f64 > 30 * cond_f32_built, (cond_f64, cond_f32_built)
+
+
+def test_gram_f64_dtype_and_agreement():
+    """gram(..., dtype=float64) returns a float64 Gram that agrees with the
+    f32 production path to f32 accuracy (same physics, higher precision)."""
+    from dqgp_tpu.models.kernels.quantum_kernel import gram
+
+    for ktype in ("projected", "fidelity"):
+        spec = QuantumKernelSpec(
+            circuit=build_circuit("yz_cx", 3, 2, 2), kernel_type=ktype,
+        )
+        rng = np.random.RandomState(1)
+        X = rng.uniform(-0.9, 0.9, size=(12, 2))
+        theta = rng.uniform(0, np.pi, size=spec.num_parameters)
+        K64 = np.asarray(gram(spec, jnp.asarray(X), jnp.asarray(theta),
+                              dtype=jnp.float64))
+        K32 = np.asarray(gram(spec, jnp.asarray(X, jnp.float32),
+                              jnp.asarray(theta, jnp.float32)))
+        assert K64.dtype == np.float64
+        assert K32.dtype == np.float32
+        np.testing.assert_allclose(K64, K32, atol=5e-6)
 
 
 def test_cond_mode_rejects_unknown_values():
