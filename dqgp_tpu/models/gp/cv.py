@@ -89,8 +89,11 @@ def cv_fold_scores_impl(
     each training iteration is ONE executable).
 
     cv_dtype "mixed" = f64 fold numerics through ``solve_psd_mixed`` (f32
-    factorization + f64 refinement): f64-grade NLPD at near-f32 fold cost on
-    emulated-f64 TPU backends.
+    factorization + split-f32 refinement on the vmapped hot path): fold
+    solves ~1e-4-grade relative — an order beyond cv_dtype "float32"'s
+    eps_f32*cond, moving fold NLPDs only ~1e-5 vs true f64 — at near-f32
+    fold cost on emulated-f64 TPU backends (the flagged-fold f64 re-score
+    below retains full reference accuracy where it matters).
 
     The fold body is vmapped, so the default solvers are the "-flag"
     variants: a failed factorization yields NaN scores instead of compiling

@@ -166,7 +166,16 @@ def gp_posterior_from_grams(
     # 0.02 s/iter without under chained dispatch). The refinement mean is
     # vector-shaped (O(N^2) per solve) and costs ~nothing on device.
     res = get_psd_solver(solver)(C, y, need_inverse=False)
-    mean = K_st @ res.C_inv_y
+    if solver == "mixed-flag" and dtype == jnp.float64:
+        # vmapped hot path (fused CV folds): the emulated-f64 matvec runs
+        # off the MXU (~0.07 ms per fold at the north star); alpha is
+        # already split-refined ~1e-4-grade, so the split product loses
+        # nothing (see ops.linalg.split_f64_matvec).
+        from ...ops.linalg import split_f64_matvec
+
+        mean = split_f64_matvec(K_st, res.C_inv_y)
+    else:
+        mean = K_st @ res.C_inv_y
     # var = diag(K_**) - sum(v^2), v = L^{-1} K_st^T on the Cholesky path;
     # on the fallback path use the explicit inverse (main.py:1476-1482).
     from jax.scipy.linalg import solve_triangular

@@ -11,7 +11,7 @@ compiled once; only one executes per call.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +24,11 @@ class SolveResult(NamedTuple):
 
     Accuracy contract: ``C_inv``/``C_inv_y`` are accurate at ``C.dtype``
     whenever ``chol_ok`` is True (the mixed solver's residual gate enforces
-    this). ``logdet`` is f64-exact on the direct path; on the mixed path it
+    this) — EXCEPT the mixed solver's ``refine_style="split"`` (the
+    ``"mixed-flag"`` hot path), whose ``C_inv_y`` is ~1e-4-grade relative
+    (see ``split_f64_matvec``): cond-independent unlike a raw f32 solve,
+    ample for fold scores/means, not for trajectory-critical quantities.
+    ``logdet`` is f64-exact on the direct path; on the mixed path it
     derives from the f32 factor's diagonal and carries ~N*eps_f32 relative
     error (~1e-4 at N=1000) — fine for the 4-dp-rounded trajectory and the
     gated north-star NLL parity, but NLL log-det terms from the mixed solver
@@ -103,9 +107,37 @@ def solve_psd_with_fallback(C: jax.Array, y: jax.Array, fallback: bool = True,
                        jnp.asarray(True))
 
 
+def split_f64_matvec(A: jax.Array, v: jax.Array) -> jax.Array:
+    """A @ v for f64 operands via three f32 MXU products summed in f64.
+
+    XLA's emulated-f64 dot on TPU backends runs off the MXU: a single
+    800x800 f64 matvec measured 0.29 ms on v5e (vs ~9 us for the identical
+    f32 work), and reshaping to an (N, 1) matmul does not help. Splitting
+    A = A_hi + A_lo and v = v_hi + v_lo into f32 parts and dropping the
+    lo*lo term recovers the MXU (33x measured):
+
+        A @ v ~= A_hi v_hi + A_hi v_lo + A_lo v_hi   (each an f32 product)
+
+    Accuracy: the f32 accumulation of A_hi v_hi rounds at the magnitude of
+    sum_j |A_ij v_j|, so where A @ v cancels (residuals!) the absolute error
+    is ~sqrt(N) * eps_f32 * || |A| |v| || — measured ~5e-5 relative residual
+    floor at the north-star fold shapes (cond ~3e4), i.e. ~1e-4-grade
+    solutions out of iterative refinement: error bounded near that floor
+    independent of cond (a raw f32 solve degrades as eps_f32 * cond), well
+    short of true f64. Use where that suffices (vmapped CV fold solves /
+    posterior means); true-f64 callers keep the emulated-f64 product."""
+    ah = A.astype(jnp.float32)
+    al = (A - ah.astype(jnp.float64)).astype(jnp.float32)
+    vh = v.astype(jnp.float32)
+    vl = (v - vh.astype(jnp.float64)).astype(jnp.float32)
+    return ((ah @ vh).astype(jnp.float64) + (ah @ vl).astype(jnp.float64)
+            + (al @ vh).astype(jnp.float64))
+
+
 def solve_psd_mixed(C: jax.Array, y: jax.Array, fallback: bool = True,
                     need_inverse: bool = True, refine_iters: int = 2,
-                    rtol: float = 1e-8, on_fail: str = "cond") -> SolveResult:
+                    rtol: Optional[float] = None, on_fail: str = "cond",
+                    refine_style: str = "f64") -> SolveResult:
     """f64-grade PSD solve at near-f32 cost: f32 Cholesky + f64 refinement.
 
     TPUs emulate f64 in software; the sequential triangular-solve stack of a
@@ -142,6 +174,24 @@ def solve_psd_mixed(C: jax.Array, y: jax.Array, fallback: bool = True,
       driver: re-run the iteration through the float64 step). This is the
       mode for vmapped/sharded hot paths.
 
+    ``refine_style`` selects how the ``need_inverse=False`` refinement
+    computes its f64 residual matvecs ``C @ x``:
+
+    * ``"f64"`` (default) — the emulated-f64 product: residuals converge to
+      ~1e-12, but each matvec costs ~0.29 ms at 800^2 on v5e (the emulated
+      dot runs off the MXU) — 3 of them dominated the fused CV's cost.
+    * ``"split"`` — :func:`split_f64_matvec` (three f32 MXU products, 33x
+      faster). Residual measurement and refinement then floor at the f32
+      cancellation scale: ~1e-4-grade solutions regardless of cond
+      (measured 0.6-2e-4 relative at north-star fold shapes, moving fold
+      NLPDs ~1e-5 — far inside the 4-dp/1e-4 parity bars). The
+      residual gate defaults to 1e-3 in this style (healthy systems sit at
+      ~5e-5; f32-defeating systems, cond >~ 1e7, stall at >~ 0.1).
+
+    ``rtol=None`` resolves per style: 1e-8 ("f64") / 1e-3 ("split"). An
+    explicit value is honored, but in "split" style residuals below the
+    ~sqrt(N)*eps_f32 floor are not measurable.
+
     For non-f64 inputs this is exactly ``solve_psd_with_fallback``.
     """
     if C.dtype != jnp.float64:
@@ -153,12 +203,35 @@ def solve_psd_mixed(C: jax.Array, y: jax.Array, fallback: bool = True,
         return solve_psd_with_fallback(
             C, y, fallback=fallback and on_fail != "flag",
             need_inverse=need_inverse)
+    if refine_style not in ("f64", "split"):
+        raise ValueError(f"unknown refine_style {refine_style!r}")
+    # Split products apply ONLY to the need_inverse=False refinement path:
+    # with need_inverse=True (the trajectory-critical agent step) x comes
+    # from the Newton-Schulz-polished inverse and the residual gate keeps
+    # its original true-f64 measurement + 1e-8 threshold — bit-identical
+    # flagging behavior to the pre-split solver.
+    use_split = refine_style == "split" and not need_inverse
+    if rtol is None:
+        rtol = 1e-3 if use_split else 1e-8
     n = C.shape[-1]
     C32 = C.astype(jnp.float32)
     eye32 = jnp.eye(n, dtype=jnp.float32)
     L32 = jnp.linalg.cholesky(C32)
     ok32 = jnp.all(jnp.isfinite(L32))
     L_safe = jnp.where(ok32, L32, eye32)
+
+    if use_split:
+        C_lo = (C - C32.astype(jnp.float64)).astype(jnp.float32)
+
+        def mv64(v):
+            vh = v.astype(jnp.float32)
+            vl = (v - vh.astype(jnp.float64)).astype(jnp.float32)
+            return ((C32 @ vh).astype(jnp.float64)
+                    + (C32 @ vl).astype(jnp.float64)
+                    + (C_lo @ vh).astype(jnp.float64))
+    else:
+        def mv64(v):
+            return C @ v
 
     def s32(b):
         w = solve_triangular(L_safe, b, lower=True)
@@ -184,13 +257,13 @@ def solve_psd_mixed(C: jax.Array, y: jax.Array, fallback: bool = True,
         x = s32(y.astype(jnp.float32)).astype(jnp.float64)
 
         def refine(_, xk):
-            r = y - C @ xk
+            r = y - mv64(xk)
             return xk + s32(r.astype(jnp.float32)).astype(jnp.float64)
 
         x = lax.fori_loop(0, refine_iters, refine, x)
 
     y_norm = jnp.maximum(jnp.linalg.norm(y), jnp.finfo(jnp.float64).tiny)
-    rnorm = jnp.linalg.norm(y - C @ x) / y_norm
+    rnorm = jnp.linalg.norm(y - mv64(x)) / y_norm
     ok = ok32 & (rnorm < rtol) & jnp.all(jnp.isfinite(x)) & jnp.all(jnp.isfinite(X))
 
     logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L_safe).astype(jnp.float64)))
@@ -236,10 +309,18 @@ def get_psd_solver(solver: str):
             # flag solvers OWN their failure semantics: a caller's
             # ``fallback=True`` (a plain keyword that would override a
             # functools.partial binding) must not re-enable an in-program
-            # rescue that vmap's cond->select lowering runs on every call
+            # rescue that vmap's cond->select lowering runs on every call.
+            # refine_style="split": this is the vmapped HOT path (CV folds
+            # inside the fused per-iteration program) — the emulated-f64
+            # residual matvecs were 4.3 of the fused CV's 8.3 ms at the
+            # north star; the split products cut that 33x at ~1e-4-grade
+            # solution accuracy (fold NLPDs move ~1e-5, two orders inside
+            # every parity bar). Flagged systems still re-score through the
+            # true-f64 path at the host level, unchanged.
             del fallback
             return solve_psd_mixed(C, y, fallback=False,
-                                   need_inverse=need_inverse, on_fail="flag")
+                                   need_inverse=need_inverse, on_fail="flag",
+                                   refine_style="split")
         return mixed_flag
     if solver == "direct":
         return solve_psd_with_fallback

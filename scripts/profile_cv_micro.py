@@ -16,8 +16,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-VARIANTS = ("gram32", "chol32", "tri32", "cast64", "matvec64", "solve_mixed",
-            "solve_f32")
+VARIANTS = ("gram32", "chol32", "tri32", "cast64", "matvec64", "matmat64",
+            "split3", "solve_mixed", "solve_f32")
 
 
 def run_variant(variant: str) -> float:
@@ -90,6 +90,37 @@ def run_variant(variant: str) -> float:
                     r3 = y - C @ (x + r2 * 1e-30)
                     return jnp.linalg.norm(r3)
                 return jnp.sum(jax.vmap(one)(C64s, x64s, y64s)).astype(jnp.float32) + t
+        elif variant == "matmat64":
+            # identical f64 arithmetic, but rank-2 dot shapes: does XLA's
+            # f64 emulation keep the efficient path it uses for matmuls?
+            def body(t):
+                def one(C, x, y):
+                    def mv(v):
+                        return (C @ v[:, None])[:, 0]
+                    r1 = y - mv(x + t.astype(jnp.float64) * 1e-20)
+                    r2 = y - mv(x + r1 * 1e-30)
+                    r3 = y - mv(x + r2 * 1e-30)
+                    return jnp.linalg.norm(r3)
+                return jnp.sum(jax.vmap(one)(C64s, x64s, y64s)).astype(jnp.float32) + t
+        elif variant == "split3":
+            # hi/lo split: 3 f32 MXU matvecs accumulated in f64 (residual
+            # precision ~sqrt(N) * eps_f32 — enough for a ~1e-5 gate)
+            C_hi = C32s  # = C64s.astype(f32) by construction
+            C_lo = (C64s - C_hi.astype(jnp.float64)).astype(jnp.float32)
+
+            def body(t):
+                def one(Ch, Cl, x, y):
+                    def mv(v):
+                        vh = v.astype(jnp.float32)
+                        vl = (v - vh.astype(jnp.float64)).astype(jnp.float32)
+                        return ((Ch @ vh).astype(jnp.float64)
+                                + (Ch @ vl).astype(jnp.float64)
+                                + (Cl @ vh).astype(jnp.float64))
+                    r1 = y - mv(x + t.astype(jnp.float64) * 1e-20)
+                    r2 = y - mv(x + r1 * 1e-30)
+                    r3 = y - mv(x + r2 * 1e-30)
+                    return jnp.linalg.norm(r3)
+                return jnp.sum(jax.vmap(one)(C_hi, C_lo, x64s, y64s)).astype(jnp.float32) + t
         elif variant == "solve_mixed":
             def body(t):
                 def one(C, y):

@@ -64,6 +64,62 @@ def test_mixed_indefinite_reaches_pinv_rescue():
                                np.asarray(direct.C_inv_y), rtol=1e-10)
 
 
+def test_split_f64_matvec_accuracy():
+    """split_f64_matvec (three f32 MXU products) matches the f64 product to
+    the documented ~sqrt(N)*eps_f32 cancellation floor."""
+    from dqgp_tpu.ops.linalg import split_f64_matvec
+
+    rng = np.random.RandomState(6)
+    A = jnp.asarray(rng.randn(300, 200) * (1 + rng.rand(300, 200)))
+    v = jnp.asarray(rng.randn(200))
+    exact = np.asarray(A, np.float64) @ np.asarray(v, np.float64)
+    got = np.asarray(jax.jit(split_f64_matvec)(A, v))
+    scale = np.linalg.norm(np.abs(np.asarray(A)) @ np.abs(np.asarray(v)))
+    assert np.linalg.norm(got - exact) < 30 * np.finfo(np.float32).eps * scale
+
+
+def test_mixed_split_refinement_accuracy_and_gate():
+    """refine_style='split' (the mixed-flag hot path): ~1e-4-grade solutions
+    on f32-servable systems (an order beyond a raw f32 solve), NaN flag on
+    systems the f32 factorization cannot serve."""
+    n = 256
+    C = _spd(n, cond=1e4, seed=8)
+    y = jnp.asarray(np.random.RandomState(9).randn(n))
+    r = jax.jit(lambda c, b: solve_psd_mixed(
+        c, b, fallback=False, need_inverse=False, on_fail="flag",
+        refine_style="split"))(C, y)
+    assert bool(r.chol_ok)
+    xref = np.linalg.solve(np.asarray(C), np.asarray(y))
+    rel = np.linalg.norm(np.asarray(r.C_inv_y) - xref) / np.linalg.norm(xref)
+    assert rel < 2e-3, rel           # measured ~1e-4-2e-4 at these shapes
+
+    C_bad = _spd(48, cond=1e9, seed=10)
+    y_bad = jnp.asarray(np.random.RandomState(11).randn(48))
+    rb = jax.jit(lambda c, b: solve_psd_mixed(
+        c, b, fallback=False, need_inverse=False, on_fail="flag",
+        refine_style="split"))(C_bad, y_bad)
+    assert not bool(rb.chol_ok)
+    assert np.all(np.isnan(np.asarray(rb.C_inv_y)))
+
+
+def test_mixed_split_style_inert_for_need_inverse():
+    """With need_inverse=True (the trajectory-critical agent-step path)
+    refine_style='split' must be a no-op: x derives from the polished
+    inverse and the residual gate keeps its true-f64 measurement —
+    bit-identical results to the default style."""
+    n = 96
+    C = _spd(n, cond=1e5, seed=12)
+    y = jnp.asarray(np.random.RandomState(13).randn(n))
+    a = jax.jit(lambda c, b: solve_psd_mixed(
+        c, b, fallback=False, need_inverse=True, on_fail="flag"))(C, y)
+    b = jax.jit(lambda c, b: solve_psd_mixed(
+        c, b, fallback=False, need_inverse=True, on_fail="flag",
+        refine_style="split"))(C, y)
+    np.testing.assert_array_equal(np.asarray(a.C_inv_y), np.asarray(b.C_inv_y))
+    np.testing.assert_array_equal(np.asarray(a.C_inv), np.asarray(b.C_inv))
+    assert bool(a.chol_ok) == bool(b.chol_ok)
+
+
 def test_mixed_f32_input_passthrough():
     n = 8
     C = _spd(n, cond=10.0).astype(jnp.float32)
