@@ -17,7 +17,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 VARIANTS = ("gram32", "chol32", "tri32", "cast64", "matvec64", "matmat64",
-            "split3", "solve_mixed", "solve_f32")
+            "matpad64", "split3", "solve_mixed", "solve_f32")
 
 
 def run_variant(variant: str) -> float:
@@ -97,6 +97,20 @@ def run_variant(variant: str) -> float:
                 def one(C, x, y):
                     def mv(v):
                         return (C @ v[:, None])[:, 0]
+                    r1 = y - mv(x + t.astype(jnp.float64) * 1e-20)
+                    r2 = y - mv(x + r1 * 1e-30)
+                    r3 = y - mv(x + r2 * 1e-30)
+                    return jnp.linalg.norm(r3)
+                return jnp.sum(jax.vmap(one)(C64s, x64s, y64s)).astype(jnp.float32) + t
+        elif variant == "matpad64":
+            # pad the RHS to 8 columns: does XLA's f64 emulation pick the
+            # efficient (square-matmul) path once both output dims tile?
+            def body(t):
+                def one(C, x, y):
+                    def mv(v):
+                        vp = jnp.zeros((v.shape[0], 8), jnp.float64)
+                        vp = vp.at[:, 0].set(v)
+                        return (C @ vp)[:, 0]
                     r1 = y - mv(x + t.astype(jnp.float64) * 1e-20)
                     r2 = y - mv(x + r1 * 1e-30)
                     r3 = y - mv(x + r2 * 1e-30)
