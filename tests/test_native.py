@@ -32,6 +32,29 @@ def test_cpp_oracle_matches_jax_engine(enc):
 
 
 @needs_native
+@pytest.mark.parametrize("enc", ENCODING_TYPES)
+def test_cpp_oracle_matches_f64_pipeline(enc):
+    """The round-3 f64 pipeline (complex128 states from f64 angles, used by
+    the host cond backfill and gram(..., dtype=float64)) must agree with the
+    independent C++ double-precision oracle to near machine precision —
+    a far tighter gate-sequence pin than the f32 path's 5e-6."""
+    c = build_circuit(enc, 3, 2, 2)
+    rng = np.random.RandomState(2)
+    X = rng.uniform(-0.9, 0.9, (6, 2))
+    theta = rng.uniform(0, np.pi, c.num_parameters)
+    angles = np.asarray(
+        sv.angle_matrix(c, jnp.asarray(X, jnp.float64),
+                        jnp.asarray(theta, jnp.float64), dtype=jnp.float64),
+        np.float64,
+    )
+    want = np.asarray(sv.state_from_angles(
+        c, jnp.asarray(angles, jnp.float64), jnp.complex128))
+    assert want.dtype == np.complex128
+    got = qsim_native.native_states(c, angles)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+@needs_native
 def test_cpp_pauli_features_match():
     c = build_circuit("kyriienko", 4, 2, 2)
     rng = np.random.RandomState(1)
