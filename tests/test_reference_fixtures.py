@@ -73,3 +73,18 @@ def test_gram_matches_reference_fixture(path):
     atol = float(_scalar(z, "atol", 1e-5))
     np.testing.assert_allclose(K, np.asarray(z["K"], np.float64),
                                rtol=rtol, atol=atol)
+
+    # Second, much sharper check through the f64 pipeline (complex128
+    # statevectors — the same precision squlearn/qiskit-aer computed the
+    # recorded Gram at): if the gate sequences truly match, agreement is
+    # ~1e-12; anything beyond ~1e-7 means a real semantic divergence that
+    # the f32 production tolerance above could mask.
+    import jax.numpy as jnp
+    from dqgp_tpu.models.kernels.quantum_kernel import gram
+
+    K64 = np.asarray(gram(kernel.spec, jnp.asarray(z["X"], jnp.float64),
+                          jnp.asarray(theta, jnp.float64),
+                          dtype=jnp.float64))
+    f64_rtol = float(_scalar(z, "f64_rtol", 1e-7))
+    np.testing.assert_allclose(K64, np.asarray(z["K"], np.float64),
+                               rtol=f64_rtol, atol=f64_rtol)
