@@ -156,9 +156,27 @@ def _agent_local_2d(
             Fm_loc = kernel_features(spec, X_loc, t_minus)
             Fp_full = jax.lax.all_gather(Fp_loc, "data", axis=0, tiled=True)
             Fm_full = jax.lax.all_gather(Fm_loc, "data", axis=0, tiled=True)
-            # (N_loc, N) panels of the shifted Grams — rows local, columns all.
-            Kp_panel = gram_from_features(spec, Fp_loc, Fp_full)
-            Km_panel = gram_from_features(spec, Fm_loc, Fm_full)
+            if spec.regularization is None:
+                # (N_loc, N) panels of the shifted Grams — rows local,
+                # columns all.
+                Kp_panel = gram_from_features(spec, Fp_loc, Fp_full)
+                Km_panel = gram_from_features(spec, Fm_loc, Fm_full)
+            else:
+                # Square-Gram regularization (thresholding/tikhonov,
+                # main.py:2011-2013) is a full-spectrum operation, so each
+                # shifted Gram is built WHOLE from the gathered features
+                # (symmetric call -> clipped, exactly like the 1-D paths'
+                # per-shift clip) and this device's row panel sliced out.
+                # The O(N^3) eigh replicates along "data" — the price of
+                # the reference's per-shift semantics — but live memory
+                # stays O(N^2): one full shifted Gram at a time, same
+                # order as the replicated solve above.
+                Kp_panel = jax.lax.dynamic_slice_in_dim(
+                    gram_from_features(spec, Fp_full), col * n_loc, n_loc,
+                    axis=0)
+                Km_panel = jax.lax.dynamic_slice_in_dim(
+                    gram_from_features(spec, Fm_full), col * n_loc, n_loc,
+                    axis=0)
             dk = ((Kp_panel - Km_panel) / (2.0 * shift_value)).astype(cdt) * m2_loc
             # tr[B dK] = sum_{r local} <B[r, :], dK[r, :]> (B symmetric), psummed.
             g = 0.5 * jax.lax.psum(jnp.sum(B_loc * dk), "data").astype(dtype)
@@ -208,15 +226,14 @@ def make_admm_step_2d(
     path is streamed by construction); "autodiff" differentiates through the
     sharded statevector + Cholesky forward pass (exact gradients, one
     forward+backward instead of 2P panel sweeps).
+
+    ``spec.regularization`` (thresholding/tikhonov) is honored with the
+    reference's per-shift semantics: symmetric Grams — the solve's and,
+    under "central"/"streamed", every shifted one — are spectrally clipped
+    whole before the panel slice (the eigh replicates along ``data``; live
+    memory stays O(N^2)). "autodiff" differentiates through the clip, as on
+    the 1-D mesh.
     """
-    if spec.regularization is not None:
-        raise NotImplementedError(
-            "Gram regularization (thresholding/tikhonov) needs the full "
-            "symmetric Gram's eigendecomposition, which the row-sharded "
-            "panels never materialize; use the 1-D agents mesh (central or "
-            "streamed gradients apply it per shifted Gram) or "
-            "regularization=None."
-        )
     kwargs = dict(
         rho=rho, L=L, noise_std=noise_std, shift_value=shift_value,
         parity_round=parity_round, compute_cond=compute_cond,

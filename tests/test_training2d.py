@@ -323,19 +323,44 @@ def test_mesh2d_autodiff_parity_rounding_trajectory():
         np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
 
 
-def test_mesh2d_rejects_regularization():
-    """Row-sharded panels cannot apply square-Gram regularization; the 2-D
-    step must refuse rather than silently diverge from the 1-D paths."""
+@pytest.mark.parametrize("reg,gm", [
+    ("thresholding", "central"),
+    ("tikhonov", "central"),
+    ("thresholding", "autodiff"),
+])
+def test_mesh2d_regularization_matches_1d(reg, gm):
+    """Square-Gram regularization on the 2-D mesh: each shifted Gram is
+    spectrally clipped WHOLE before the panel slice (reference per-shift
+    semantics, main.py:2011-2013), so the trajectory matches the 1-D path
+    with the same spec step for step under 4-dp parity rounding."""
     if len(jax.devices()) < 4:
         pytest.skip("needs 4 virtual devices")
     spec = QuantumKernelSpec(
         circuit=build_circuit("hubregtsen", 3, 2, 1),
         kernel_type="projected", outer_kernel="matern",
-        regularization="thresholding",
+        regularization=reg,
     )
+    batch, theta, psi = _problem(spec, 64, 4)
+
+    ref_step = make_admm_step(
+        spec, None, rho=100.0, L=100.0, noise_std=0.1,
+        compute_cond=False, grad_method=gm, parity_round=True,
+    )
+    ref = _run(ref_step, theta, psi, batch)
+
     mesh = agents_data_mesh(2, 2)
-    with pytest.raises(NotImplementedError):
-        make_admm_step_2d(spec, mesh, rho=100.0, L=100.0, noise_std=0.1)
+    batch2, theta2, psi2 = shard_batch_to_mesh_2d(batch, theta, psi, mesh)
+    step2 = make_admm_step_2d(
+        spec, mesh, rho=100.0, L=100.0, noise_std=0.1, compute_cond=False,
+        parity_round=True, grad_method=gm,
+    )
+    got = _run(step2, theta2, psi2, batch2)
+
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a.theta), np.asarray(b.theta))
+        np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
+        np.testing.assert_allclose(np.asarray(a.nll), np.asarray(b.nll),
+                                   rtol=1e-4)
 
 
 def test_driver_train_2d_ragged_shards():
