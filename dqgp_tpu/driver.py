@@ -91,6 +91,13 @@ class TrainConfig:
     data_mesh_cols: Optional[int] = None  # >1: agents x data 2-D mesh — each
                                     # agent's Gram panels row-shard over this
                                     # many devices (scale-out training)
+    solve_2d: str = "replicated"    # 2-D mesh solve: "replicated" (each data
+                                    # column solves the full N x N system) or
+                                    # "distributed" (row-sharded blocked
+                                    # Cholesky + bracket, O(N^2/cols) memory
+                                    # per device — for agents whose N^2 no
+                                    # longer fits one chip; central/streamed
+                                    # grads, f32/f64 only, cond via host)
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 10
     verbose: bool = True
@@ -339,13 +346,24 @@ def train(
     if mesh2d is not None:
         from .parallel import make_admm_step_2d
 
+        if cfg.solve_2d == "distributed" and cfg.gp_dtype == "mixed":
+            # "auto" resolves to mixed on TPU, but the distributed solve does
+            # not carry the f64 refinement loop; f32 is its native precision.
+            log("solve_2d=distributed: gp_dtype mixed -> float32 "
+                "(the row-sharded solve does not distribute f64 refinement)")
+            cfg = dataclasses.replace(cfg, gp_dtype="float32")
+        if cfg.solve_2d == "distributed" and step_cond:
+            # in-step cond needs the full spectrum; route through the host
+            # backfill instead (independent of the step program)
+            step_cond = False
+            cond_mode = "host" if cfg.compute_cond else "off"
         step = make_admm_step_2d(
             spec, mesh2d,
             rho=cfg.rho, L=cfg.L, noise_std=cfg.noise_std,
             shift_value=cfg.shift_value, parity_round=cfg.parity_round,
             compute_cond=step_cond,
             gp_dtype=cfg.gp_dtype, psd_fallback=cfg.psd_fallback,
-            grad_method=cfg.grad_method,
+            grad_method=cfg.grad_method, solve=cfg.solve_2d,
         )
     else:
         step = make_admm_step(

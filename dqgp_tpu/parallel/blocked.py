@@ -809,6 +809,162 @@ def woodbury_preconditioner(L: jax.Array, sigma2: float):
 # ---------------------------------------------------------------------------
 
 
+def distributed_chol_bracket(
+    spec: QuantumKernelSpec,
+    F_loc: jax.Array,      # (n_loc, Dfeat) this device's feature rows
+    F_full: jax.Array,     # (N, Dfeat)     gathered features (replicated)
+    y_loc: jax.Array,      # (n_loc,)
+    m_loc: jax.Array,      # (n_loc,)       1 = real row, 0 = padding
+    m_full: jax.Array,     # (N,)
+    *,
+    sigma2: float,
+    n_dev: int,
+    data_axis: str = "data",
+    dtype=jnp.float32,
+):
+    """Masked GP NLL + this device's bracket rows with the solve itself
+    ROW-SHARDED over ``data_axis`` — for use INSIDE a ``shard_map`` (and under
+    ``vmap`` over agent lanes: every collective is a psum/all_gather over the
+    named axis, which batches cleanly).
+
+    Semantics match ``posterior.masked_nll_core`` (main.py's masked agent NLL):
+    C = K*mm^T + diag(1-m) + sigma^2 diag(m), y zeroed on padding, the padded
+    block contributing log(1)=0 to the log-det and nothing to the quadratic
+    term. Returns ``(nll, log_det_term, quadratic_term, constant_term,
+    B_loc)`` where ``B_loc`` is this device's (n_loc, N) row block of the
+    gradient bracket C^{-1} - alpha alpha^T — exactly what the 2-D training
+    scan contracts shifted-Gram panels against.
+
+    Layout (one row block per device, block size B = n_loc):
+      * left-looking blocked Cholesky: per step k the diagonal device's
+        row strip of L is reconstructed by a masked psum and every device
+        triangular-solves its own rows — L never materializes whole
+        (live memory O(N^2 / n_dev) per device vs the replicated solve's
+        O(N^2)).
+      * one blocked forward + backward substitution on (N, n_loc + 1)
+        right-hand sides: this device's n_loc one-hot columns of I (giving
+        its rows of C^{-1} by symmetry) plus the shared masked y (giving
+        alpha, bit-identical on every device).
+
+    Per-device flops are O(N^3 / n_dev) — the same parallel efficiency as
+    the factorization itself. No flag/rescue machinery: a non-PSD diagonal
+    block NaNs the factor and the NaN reaches the NLL (the driver's host
+    f64 re-run path does not engage; use the replicated solve where the
+    mixed/fallback semantics are required).
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    dtype = jnp.dtype(dtype)
+    n_loc = F_loc.shape[0]
+    n_total = n_loc * n_dev
+    d = jax.lax.axis_index(data_axis)
+    row_ids = d * n_loc + jnp.arange(n_loc)
+    m_loc = m_loc.astype(dtype)
+    m_full_d = m_full.astype(dtype)
+    ym_loc = (y_loc * m_loc).astype(dtype)
+
+    def strip(M, k):
+        """Global rows [k*B, (k+1)*B) of a row-sharded array — i.e. device
+        k's block — replicated everywhere via a masked psum."""
+        owned = jnp.where(d == k, M, jnp.zeros_like(M))
+        return jax.lax.psum(owned, data_axis)
+
+    def panel_local(k):
+        """Local rows of C[:, kB:(k+1)B] (masked + shifted)."""
+        F_k = jax.lax.dynamic_slice_in_dim(F_full, k * n_loc, n_loc, 0)
+        m_k = jax.lax.dynamic_slice_in_dim(m_full_d, k * n_loc, n_loc, 0)
+        Pnl = gram_from_features(spec, F_loc, F_k).astype(dtype)
+        Pnl = Pnl * (m_loc[:, None] * m_k[None, :])
+        col_ids = k * n_loc + jnp.arange(n_loc)[None, :]
+        on_diag = (row_ids[:, None] == col_ids).astype(dtype)
+        return Pnl + on_diag * ((1.0 - m_loc[:, None])
+                                + dtype.type(sigma2) * m_loc[:, None])
+
+    def chol_step(k, L_local):
+        panel = panel_local(k)                       # (n_loc, B)
+        L_krows = strip(L_local, k)                  # (B, N)
+        T = panel - L_local @ L_krows.T              # (n_loc, B)
+        S_kk = strip(T, k)                           # (B, B) diagonal block
+        L_kk = jnp.linalg.cholesky(S_kk)
+        panel_L = solve_triangular(L_kk, T.T, lower=True).T
+        below = (row_ids[:, None] >= (k + 1) * n_loc).astype(dtype)
+        panel_out = panel_L * below
+        # diagonal device writes tril(L_kk) into its rows
+        row_rel = row_ids[:, None] - k * n_loc
+        in_diag = jnp.logical_and(row_rel >= 0, row_rel < n_loc)
+        diag_vals = jnp.take(jnp.tril(L_kk),
+                             jnp.clip(row_rel, 0, n_loc - 1)[:, 0], axis=0)
+        panel_out = jnp.where(in_diag, diag_vals, panel_out)
+        return jax.lax.dynamic_update_slice_in_dim(
+            L_local, panel_out, k * n_loc, 1)
+
+    # The carry must carry the same device-varying axes as the inputs —
+    # under the agents x data training mesh that is BOTH axes, under a pure
+    # data shard_map just one. Deriving the zero from F_loc inherits the
+    # exact varying set either way.
+    vary0 = (F_loc.ravel()[0] * 0).astype(dtype)
+    L_local = jax.lax.fori_loop(
+        0, n_dev, chol_step, jnp.zeros((n_loc, n_total), dtype) + vary0)
+
+    diag_local = L_local[jnp.arange(n_loc), row_ids]
+    log_det_term = 0.5 * jax.lax.psum(
+        2.0 * jnp.sum(jnp.log(diag_local)), data_axis)
+
+    # Forward substitution L V = [E_d | ym] on (N, n_loc + 1) RHS columns:
+    # E_d's block-k rows are I when k == d (this device's one-hot columns),
+    # ym's block-k rows are device k's masked y.
+    eye_B = jnp.eye(n_loc, dtype=dtype)
+
+    def fwd_step(k, V):
+        L_krows = strip(L_local, k)                                  # (B, N)
+        L_kk = jax.lax.dynamic_slice_in_dim(L_krows, k * n_loc, n_loc, 1)
+        E_k = jnp.where(d == k, eye_B, jnp.zeros_like(eye_B))
+        y_k = strip(ym_loc, k)
+        rhs_k = jnp.concatenate([E_k, y_k[:, None]], axis=1)         # (B, n_loc+1)
+        rhs = rhs_k - L_krows @ V
+        V_k = solve_triangular(L_kk, rhs, lower=True)
+        return jax.lax.dynamic_update_slice_in_dim(V, V_k, k * n_loc, 0)
+
+    V = jax.lax.fori_loop(
+        0, n_dev, fwd_step, jnp.zeros((n_total, n_loc + 1), dtype) + vary0)
+
+    w = V[:, -1]
+    # w is computed from replicated strips and is bit-identical on every
+    # device, but VMA cannot infer that through the varying carry; pmax of
+    # identical shard values is an exact replication marker (see
+    # training2d's NLL scalars — pmean would round for non-power-of-two
+    # device counts).
+    quadratic_term = jax.lax.pmax(0.5 * jnp.sum(w * w), data_axis)
+
+    # Backward substitution L^T Z = V, descending blocks. The trailing-row
+    # coupling needs global column-block k of L: an all_gather of each
+    # device's (n_loc, B) slab — O(N B) per step, O(N^2) total, the same
+    # volume the factorization's strips already moved.
+    def bwd_step(i, Z):
+        k = n_dev - 1 - i
+        Lcol_loc = jax.lax.dynamic_slice_in_dim(L_local, k * n_loc, n_loc, 1)
+        Lcol = jax.lax.all_gather(Lcol_loc, data_axis, axis=0, tiled=True)
+        L_kk = jax.lax.dynamic_slice_in_dim(Lcol, k * n_loc, n_loc, 0)
+        below = (jnp.arange(n_total)[:, None] >= (k + 1) * n_loc).astype(dtype)
+        V_k = jax.lax.dynamic_slice_in_dim(V, k * n_loc, n_loc, 0)
+        rhs = V_k - (Lcol * below).T @ Z
+        Z_k = solve_triangular(L_kk.T, rhs, lower=False)
+        return jax.lax.dynamic_update_slice_in_dim(Z, Z_k, k * n_loc, 0)
+
+    # zeros_like(V) inherits V's device-varying marker along the data axis
+    Z = jax.lax.fori_loop(0, n_dev, bwd_step, jnp.zeros_like(V))
+
+    alpha = Z[:, -1]                                             # (N,) replicated
+    alpha_loc = jax.lax.dynamic_slice_in_dim(alpha, d * n_loc, n_loc, 0)
+    # rows of C^{-1} owned locally = (columns for local indices)^T by symmetry
+    B_loc = Z[:, :n_loc].T - alpha_loc[:, None] * alpha[None, :]
+
+    n_real = jax.lax.psum(jnp.sum(m_loc), data_axis)
+    constant_term = 0.5 * n_real * jnp.log(dtype.type(2.0 * jnp.pi))
+    nll = log_det_term + quadratic_term + constant_term
+    return nll, log_det_term, quadratic_term, constant_term, B_loc
+
+
 def make_distributed_cholesky_nll(
     spec: QuantumKernelSpec,
     mesh,

@@ -79,6 +79,7 @@ def _agent_local_2d(
     psd_fallback: bool,
     grad_method: str = "central",
     n_data_cols: int = 1,
+    solve: str = "replicated",
 ):
     solver = "direct"
     if gp_dtype == "mixed":
@@ -133,17 +134,37 @@ def _agent_local_2d(
         F_loc = kernel_features(spec, X_loc, z32)
         F_full = jax.lax.all_gather(F_loc, "data", axis=0, tiled=True)
 
-        # Unshifted Gram + solve, replicated along "data" (see module docstring).
-        K = gram_from_features(spec, F_full)
-        res, bracket = masked_nll_core(
-            K.astype(dtype), y_full.astype(dtype), m_full.astype(dtype), noise_std,
-            compute_cond=compute_cond, fallback=psd_fallback, solver=solver,
-        )
         # mixed: contract panels in f32 (see consensus._agent_local)
         cdt = contraction_dtype(solver, dtype)
-        # This device's row block of the (symmetric) bracket and of the mask.
-        B_loc = jax.lax.dynamic_slice_in_dim(bracket, col * n_loc, n_loc,
-                                             axis=0).astype(cdt)
+        if solve == "distributed":
+            # Row-sharded blocked Cholesky: no device ever materializes the
+            # full (N, N) system or bracket — live memory O(N^2 / n_cols)
+            # (blocked.distributed_chol_bracket; the upgrade path for when
+            # one agent's N^2 stops fitting a chip).
+            from .blocked import distributed_chol_bracket
+            from ..models.gp.posterior import NLLResult
+
+            nll_v, ld_v, quad_v, const_v, B_loc = distributed_chol_bracket(
+                spec, F_loc, F_full, Y_loc, m_loc, m_full,
+                sigma2=noise_std**2, n_dev=n_data_cols, dtype=dtype,
+            )
+            zero = jnp.zeros((0,), dtype)
+            res = NLLResult(nll_v, zero, ld_v, quad_v, const_v,
+                            jnp.asarray(jnp.nan, dtype),
+                            jnp.asarray(True))
+            B_loc = B_loc.astype(cdt)
+        else:
+            # Unshifted Gram + solve, replicated along "data" (see module
+            # docstring).
+            K = gram_from_features(spec, F_full)
+            res, bracket = masked_nll_core(
+                K.astype(dtype), y_full.astype(dtype), m_full.astype(dtype),
+                noise_std, compute_cond=compute_cond, fallback=psd_fallback,
+                solver=solver,
+            )
+            # This device's row block of the (symmetric) bracket.
+            B_loc = jax.lax.dynamic_slice_in_dim(bracket, col * n_loc, n_loc,
+                                                 axis=0).astype(cdt)
         m2_loc = (m_loc[:, None] * m_full[None, :]).astype(cdt)
 
         n_params = z32.shape[0]
@@ -214,6 +235,7 @@ def make_admm_step_2d(
     gp_dtype: str = "float64",
     psd_fallback: bool = True,
     grad_method: str = "central",
+    solve: str = "replicated",
 ):
     """Jitted ADMM iteration over an ("agents", "data") mesh.
 
@@ -233,12 +255,49 @@ def make_admm_step_2d(
     whole before the panel slice (the eigh replicates along ``data``; live
     memory stays O(N^2)). "autodiff" differentiates through the clip, as on
     the 1-D mesh.
+
+    ``solve``: "replicated" (default) solves each agent's (N, N) system
+    whole on every data column — its O(N^3) is amortized over the 2P panel
+    sweeps, but one agent's N^2 must fit a chip. "distributed" row-shards
+    the Cholesky factor, the substitutions, AND the gradient bracket over
+    the ``data`` axis (``blocked.distributed_chol_bracket``): live memory
+    drops to O(N^2 / n_cols) per device, removing the last single-chip
+    ceiling on per-agent size. Restrictions (all static errors):
+    central/streamed gradients only, no mixed solver (the f64 refinement
+    loop is not distributed — use gp_dtype float32/float64), no
+    square-Gram regularization (the per-shift clip materializes full Grams,
+    defeating the sharded memory budget; use the replicated solve), and
+    in-step condition numbers unavailable (``compute_cond=False``; the
+    driver's host backfill is independent of the step and still works).
     """
+    if solve not in ("replicated", "distributed"):
+        raise ValueError(f"solve must be 'replicated' or 'distributed', got {solve!r}")
+    if solve == "distributed":
+        if grad_method == "autodiff":
+            raise ValueError(
+                "solve='distributed' supports central/streamed gradients; "
+                "autodiff differentiates the replicated solve (solve='replicated')")
+        if gp_dtype == "mixed":
+            raise ValueError(
+                "solve='distributed' does not distribute the mixed solver's "
+                "f64 refinement loop; use gp_dtype='float32'/'float64' or "
+                "solve='replicated'")
+        if spec.regularization is not None:
+            raise ValueError(
+                "solve='distributed' cannot apply square-Gram regularization "
+                "(the per-shift spectral clip materializes full Grams, "
+                "defeating the sharded memory budget); use solve='replicated'")
+        if compute_cond:
+            raise ValueError(
+                "solve='distributed' cannot compute in-step condition numbers "
+                "(needs the full spectrum); use compute_cond=False with the "
+                "driver's host cond backfill")
     kwargs = dict(
         rho=rho, L=L, noise_std=noise_std, shift_value=shift_value,
         parity_round=parity_round, compute_cond=compute_cond,
         gp_dtype=gp_dtype, psd_fallback=psd_fallback,
         grad_method=grad_method, n_data_cols=mesh.shape["data"],
+        solve=solve,
     )
 
     def body(theta, psi, X, Y, m):

@@ -405,3 +405,103 @@ def test_driver_chained_on_2d_mesh():
     np.testing.assert_array_equal(b.z, a.z)
     np.testing.assert_array_equal(np.asarray(b.theta), np.asarray(a.theta))
     np.testing.assert_array_equal(np.asarray(b.psi), np.asarray(a.psi))
+
+
+def test_mesh2d_distributed_solve_matches_replicated():
+    """solve='distributed' (row-sharded Cholesky + bracket,
+    blocked.distributed_chol_bracket) produces the same trajectory as the
+    replicated solve under 4-dp parity rounding — while never materializing
+    a full (N, N) system on any device."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    spec = _spec()
+    batch, theta, psi = _problem(spec, 64, 2)
+
+    mesh = agents_data_mesh(2, 4)
+    batch2, theta2, psi2 = shard_batch_to_mesh_2d(batch, theta, psi, mesh)
+    mk = lambda sv: make_admm_step_2d(
+        spec, mesh, rho=100.0, L=100.0, noise_std=0.1, compute_cond=False,
+        parity_round=True, gp_dtype="float32", solve=sv,
+    )
+    ref = _run(mk("replicated"), theta2, psi2, batch2)
+    got = _run(mk("distributed"), theta2, psi2, batch2)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a.theta), np.asarray(b.theta))
+        np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
+        np.testing.assert_allclose(np.asarray(a.nll), np.asarray(b.nll),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a.psi), np.asarray(b.psi),
+                                   atol=1e-3)
+
+
+def test_mesh2d_distributed_solve_ragged_mask():
+    """Padded (masked) rows flow through the distributed factorization with
+    masked-identity semantics: trajectories match the replicated solve on a
+    problem whose per-agent shard sizes are ragged."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    spec = _spec()
+    rng = np.random.RandomState(5)
+    X = rng.uniform(-0.9, 0.9, (70, 2))  # 70 over 2 agents -> ragged + padded
+    Y = np.sin(3 * X[:, 0]) + 0.2 * rng.randn(70)
+    splits = split_data_numpy(X, Y, 2, "random")
+    mesh = agents_data_mesh(2, 4)
+    pad_to = ((max(x.shape[0] for x, _ in splits) + 3) // 4) * 4
+    batch = make_agent_batch(splits, pad_to=pad_to)
+    theta, psi, _ = init_admm_state(2, spec.num_parameters, 42, 100.0)
+    assert np.asarray(batch.mask).sum() < batch.mask.shape[0] * batch.mask.shape[1]
+
+    batch2, theta2, psi2 = shard_batch_to_mesh_2d(
+        batch, jnp.asarray(theta), jnp.asarray(psi), mesh)
+    mk = lambda sv: make_admm_step_2d(
+        spec, mesh, rho=100.0, L=100.0, noise_std=0.1, compute_cond=False,
+        parity_round=True, gp_dtype="float32", solve=sv,
+    )
+    ref = _run(mk("replicated"), theta2, psi2, batch2)
+    got = _run(mk("distributed"), theta2, psi2, batch2)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a.theta), np.asarray(b.theta))
+        np.testing.assert_allclose(np.asarray(a.nll), np.asarray(b.nll),
+                                   rtol=1e-4)
+
+
+def test_mesh2d_distributed_solve_static_guards():
+    """The distributed solve's unsupported combinations are static errors
+    with pointers at the supported configuration."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = agents_data_mesh(2, 2)
+    base = dict(rho=100.0, L=100.0, noise_std=0.1, solve="distributed")
+    with pytest.raises(ValueError, match="autodiff"):
+        make_admm_step_2d(_spec(), mesh, grad_method="autodiff", **base)
+    with pytest.raises(ValueError, match="refinement"):
+        make_admm_step_2d(_spec(), mesh, gp_dtype="mixed", **base)
+    with pytest.raises(ValueError, match="regularization"):
+        spec_reg = QuantumKernelSpec(
+            circuit=build_circuit("hubregtsen", 3, 2, 1),
+            kernel_type="projected", outer_kernel="matern",
+            regularization="thresholding")
+        make_admm_step_2d(spec_reg, mesh, **base)
+    with pytest.raises(ValueError, match="cond"):
+        make_admm_step_2d(_spec(), mesh, compute_cond=True, **base)
+
+
+def test_driver_train_2d_distributed_solve():
+    """Driver end-to-end on the 2-D mesh with solve_2d='distributed':
+    trajectory equals the replicated solve's."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dqgp_tpu.driver import TrainConfig, train
+
+    spec = _spec()
+    rng = np.random.RandomState(3)
+    X = rng.uniform(-0.9, 0.9, (96, 2))
+    Y = np.sin(3 * X[:, 0]) + 0.2 * rng.randn(96)
+    splits = split_data_numpy(X, Y, 4, "sequential")
+
+    base = dict(max_iter=2, verbose=False, compute_cond=False,
+                data_mesh_cols=2, gp_dtype="float32")
+    a = train(spec, splits, X, Y, TrainConfig(**base))
+    b = train(spec, splits, X, Y, TrainConfig(solve_2d="distributed", **base))
+    np.testing.assert_array_equal(b.z, a.z)
+    np.testing.assert_array_equal(np.asarray(b.theta), np.asarray(a.theta))
