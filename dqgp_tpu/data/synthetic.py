@@ -28,6 +28,9 @@ from ..models.kernels.quantum_kernel import QuantumKernelSpec, gram
 # One fused program per spec; un-jitted op-by-op dispatch is pathologically
 # slow on remote-compile TPU backends.
 _gram_jit = jax.jit(gram, static_argnums=(0,))
+_gram_jit64 = jax.jit(
+    lambda spec, X, th: gram(spec, X, th, dtype=jnp.float64), static_argnums=(0,)
+)
 
 
 def generate_quantum_gp_data(
@@ -40,8 +43,20 @@ def generate_quantum_gp_data(
     data_seed: Optional[int] = None,
     param_seed: int = 42,
     verbose: bool = False,
+    gram_dtype: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Sample (X, Y, theta*) from a quantum-GP prior. Reference main.py:161-292."""
+    """Sample (X, Y, theta*) from a quantum-GP prior. Reference main.py:161-292.
+
+    ``gram_dtype`` selects the precision of the ground-truth Gram K the
+    samples are drawn from. The reference builds it in double precision
+    (qiskit-aer statevectors, main.py:245, 270-287), so ``"auto"`` resolves
+    to float64 wherever complex128 is native (CPU/GPU with x64 on) — the
+    f32-vs-f64 pipeline gap is ~1e-4 in K entries, i.e. generated Y from the
+    f32 pipeline differs from a true reference dataset at that scale
+    (round-3 fixture check). On TPU-class backends auto stays float32.
+    The numpy RNG sequence (X, theta*, z, noise) is identical either way —
+    only K's entries move.
+    """
     if input_dim < 1 or input_dim > 6:
         raise ValueError(f"Input dimension must be between 1 and 6, got {input_dim}")
     if spec.circuit.num_features != input_dim:
@@ -66,10 +81,29 @@ def generate_quantum_gp_data(
     if spec.circuit.requires_clipping:
         X = np.clip(X, -0.99, 0.99)  # arccos domain guard (main.py:224-236)
 
-    K = np.asarray(
-        _gram_jit(spec, jnp.asarray(X, jnp.float32), jnp.asarray(ground_truth_params, jnp.float32)),
-        np.float64,
-    )
+    if gram_dtype == "auto":
+        from .. import config as _config
+
+        gram_dtype = (
+            "float64"
+            if _config.supports_complex128() and jax.config.jax_enable_x64
+            else "float32"
+        )
+    if gram_dtype == "float64":
+        # np.array (copy) not np.asarray: a dtype-matching f64 jax array on
+        # CPU aliases device memory read-only, and the diagonal jitter below
+        # mutates K in place.
+        K = np.array(
+            _gram_jit64(spec, jnp.asarray(X, jnp.float64),
+                        jnp.asarray(ground_truth_params, jnp.float64)),
+            np.float64,
+        )
+    else:
+        K = np.asarray(
+            _gram_jit(spec, jnp.asarray(X, jnp.float32),
+                      jnp.asarray(ground_truth_params, jnp.float32)),
+            np.float64,
+        )
     if np.any(np.isnan(K)) or np.any(np.isinf(K)):
         raise ValueError("Kernel matrix contains NaN or infinite values")
 

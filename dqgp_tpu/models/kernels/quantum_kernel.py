@@ -256,6 +256,7 @@ def gram_and_shift_grads(
     theta: jax.Array,
     h: float = float(np.pi / 8),
     period: float = PERIOD,
+    dtype=jnp.float32,
 ) -> Tuple[jax.Array, jax.Array]:
     """(K, dK/dtheta) with the reference's central difference.
 
@@ -265,13 +266,14 @@ def gram_and_shift_grads(
 
     Returns K (N, N) and dK (P, N, N). All 2P+1 Gram evaluations run as one
     vmapped batch — the reference fans them out as separate OS processes that
-    each rebuild the circuit from scratch.
+    each rebuild the circuit from scratch. ``dtype=float64`` routes every
+    shifted Gram through the complex128 pipeline (see ``gram``).
     """
     thetas = shift_parameter_batch(theta, h, period)          # (2P+1, P)
     # Angle matrices per shifted theta are cheap elementwise work; the state
     # preparation for ALL shifts is then ONE flattened batch through the
     # feature engine (optimal tile utilization for the Pallas kernel).
-    A = jax.vmap(lambda t: angle_matrix(spec.circuit, X, t))(thetas)  # (S, N, G)
+    A = jax.vmap(lambda t: angle_matrix(spec.circuit, X, t, dtype))(thetas)  # (S, N, G)
     S, N, G = A.shape
     flat = features_from_angles(spec, A.reshape(S * N, G))
     feats = flat.reshape(S, N, flat.shape[-1])
@@ -294,17 +296,37 @@ class QuantumKernel:
     ``num_parameters`` / ``assign_parameters`` / ``_parameters`` /
     ``evaluate`` / ``evaluate_derivatives`` (main.py:198-205, 245, 1413-1430;
     agent_riemannian.py:114-118, 402-404).
+
+    Precision: the squlearn surface this mirrors is genuinely float64
+    (qiskit-aer simulates in double precision, agent_riemannian.py:114-119),
+    so ``dtype="auto"`` resolves to float64 wherever complex128 is native
+    (CPU/GPU with x64 enabled) and the returned entries are reference-grade —
+    pinned against the C++ double-precision oracle at 1e-12 (test_native.py).
+    On TPU-class backends (no complex128 support) auto stays float32, the
+    production path. Pass ``dtype="float32"``/``"float64"`` to force either.
     """
 
-    def __init__(self, spec: QuantumKernelSpec):
+    def __init__(self, spec: QuantumKernelSpec, dtype: str = "auto"):
+        from ... import config as _config
+
         self.spec = spec
+        if dtype == "auto":
+            dtype = (
+                "float64"
+                if _config.supports_complex128() and jax.config.jax_enable_x64
+                else "float32"
+            )
+        if dtype not in ("float32", "float64"):
+            raise ValueError(f"dtype must be 'auto'/'float32'/'float64', got {dtype!r}")
+        self._dtype = jnp.dtype(dtype)
         self._parameters: Optional[jnp.ndarray] = None
+        dt = self._dtype
         self._gram_jit = jax.jit(
-            lambda XA, th, XB: gram(spec, XA, th, XB), static_argnums=()
+            lambda XA, th, XB: gram(spec, XA, th, XB, dtype=dt), static_argnums=()
         )
-        self._sym_gram_jit = jax.jit(lambda XA, th: gram(spec, XA, th))
+        self._sym_gram_jit = jax.jit(lambda XA, th: gram(spec, XA, th, dtype=dt))
         self._grads_jit = jax.jit(
-            lambda X, th, h: gram_and_shift_grads(spec, X, th, h)
+            lambda X, th, h: gram_and_shift_grads(spec, X, th, h, dtype=dt)
         )
 
     @property
@@ -316,7 +338,7 @@ class QuantumKernel:
         return self.spec.circuit
 
     def assign_parameters(self, params) -> None:
-        self._parameters = jnp.asarray(params, jnp.float32)
+        self._parameters = jnp.asarray(params, self._dtype)
 
     def evaluate(self, XA, XB=None) -> np.ndarray:
         # Symmetric-vs-cross is decided on Python object identity — a value
@@ -373,6 +395,7 @@ def create_quantum_kernel(
     outer_kernel_params: Optional[Dict[str, float]] = None,
     regularization: Optional[str] = None,
     apply_outer_params: bool = False,
+    dtype: str = "auto",
 ) -> QuantumKernel:
     """Flag-compatible twin of the reference's factory (main.py:43-145).
 
@@ -381,6 +404,7 @@ def create_quantum_kernel(
     and ignored. ``apply_outer_params=False`` reproduces the reference quirk
     that CLI outer-kernel hyperparameters never reach the main-path kernels
     (main.py:127-133, SURVEY.md §2.1) — set True to actually honor them.
+    ``dtype`` is the facade's evaluation precision (see ``QuantumKernel``).
     """
     del use_parameter_shift
     circuit = build_circuit(encoding_type, num_qubits, num_features, num_layers)
@@ -393,4 +417,4 @@ def create_quantum_kernel(
         outer_kernel_params=params,
         regularization=regularization,
     )
-    return QuantumKernel(spec)
+    return QuantumKernel(spec, dtype=dtype)

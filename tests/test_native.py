@@ -80,3 +80,70 @@ def test_native_hgt_matches_numpy(tmp_path):
     data.tofile(p)
     got = read_hgt(p, n)
     np.testing.assert_array_equal(got, data.astype(np.float64))
+
+
+@needs_native
+def test_facade_f64_matches_cpp_oracle():
+    """QuantumKernel.evaluate with dtype auto->float64 on CPU must return
+    reference-grade entries: the fidelity Gram computed in pure numpy f64
+    from the C++ double-precision oracle's statevectors agrees at 1e-12
+    (the squlearn surface it mirrors is genuinely f64 qiskit-aer,
+    agent_riemannian.py:114-119)."""
+    from dqgp_tpu.models.kernels.quantum_kernel import create_quantum_kernel
+
+    qk = create_quantum_kernel(3, num_features=2, num_layers=2,
+                               encoding_type="yz_cx", kernel_type="fidelity")
+    assert qk._dtype == jnp.float64  # auto resolves to f64 on CPU
+    c = qk.spec.circuit
+    rng = np.random.RandomState(7)
+    X = rng.uniform(-0.9, 0.9, (6, 2))
+    theta = rng.uniform(0, np.pi, c.num_parameters)
+    qk.assign_parameters(theta)
+    K = qk.evaluate(X, X)
+
+    angles = np.asarray(
+        sv.angle_matrix(c, jnp.asarray(X, jnp.float64),
+                        jnp.asarray(theta, jnp.float64), dtype=jnp.float64),
+        np.float64,
+    )
+    psi = qsim_native.native_states(c, angles)          # (N, 2^n) complex128
+    ov = psi @ psi.conj().T
+    K_ref = (ov * ov.conj()).real
+    np.testing.assert_allclose(K, K_ref, atol=1e-12)
+
+
+@needs_native
+def test_facade_f64_derivatives_match_cpp_oracle():
+    """evaluate_derivatives in the f64 facade: K and every central-difference
+    dK/dp agree with a from-scratch numpy-f64 construction through the C++
+    oracle at 1e-10 (matches agent_riemannian.py:247-275 semantics)."""
+    from dqgp_tpu.models.kernels.quantum_kernel import create_quantum_kernel
+
+    qk = create_quantum_kernel(2, num_features=1, num_layers=1,
+                               encoding_type="hubregtsen", kernel_type="fidelity")
+    c = qk.spec.circuit
+    rng = np.random.RandomState(3)
+    X = rng.uniform(-0.9, 0.9, (4, 1))
+    theta = rng.uniform(0, np.pi, c.num_parameters)
+    qk.assign_parameters(theta)
+    h = float(np.pi / 8)
+    out = qk.evaluate_derivatives(X, values=("K", "dKdp"), h=h)
+
+    def gram_f64(t):
+        t = np.mod(t, np.pi)  # wrap-before-eval (agent_riemannian.py:38-41)
+        angles = np.asarray(
+            sv.angle_matrix(c, jnp.asarray(X, jnp.float64),
+                            jnp.asarray(t, jnp.float64), dtype=jnp.float64),
+            np.float64,
+        )
+        psi = qsim_native.native_states(c, angles)
+        ov = psi @ psi.conj().T
+        return (ov * ov.conj()).real
+
+    np.testing.assert_allclose(out["K"], gram_f64(theta), atol=1e-12)
+    for p in range(c.num_parameters):
+        tp, tm = theta.copy(), theta.copy()
+        tp[p] += h
+        tm[p] -= h
+        want = (gram_f64(tp) - gram_f64(tm)) / (2.0 * h)
+        np.testing.assert_allclose(out["dKdp"][p], want, atol=1e-10)
