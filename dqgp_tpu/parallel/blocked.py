@@ -851,6 +851,16 @@ def distributed_chol_bracket(
     block NaNs the factor and the NaN reaches the NLL (the driver's host
     f64 re-run path does not engage; use the replicated solve where the
     mixed/fallback semantics are required).
+
+    ``dtype=float64`` runs the factorization and substitutions in f64, but
+    the Gram PANELS are built from the f32 feature matrix like every other
+    training path (package precision contract) — and XLA fuses the f32
+    entry computation differently here than in the replicated solve's full
+    Gram, so the two paths' C matrices differ at ~1e-7 absolute. Measured
+    consequence (tests/test_training2d.py::test_mesh2d_distributed_solve_
+    float64): f64 NLL agrees with the replicated f64 solve at ~1e-5
+    relative (the f32-entry floor through the quadratic form), vs ~1e-4
+    for the f32 solve.
     """
     from jax.scipy.linalg import solve_triangular
 

@@ -189,9 +189,10 @@ def _agent_local_2d(
                 # (symmetric call -> clipped, exactly like the 1-D paths'
                 # per-shift clip) and this device's row panel sliced out.
                 # The O(N^3) eigh replicates along "data" — the price of
-                # the reference's per-shift semantics — but live memory
-                # stays O(N^2): one full shifted Gram at a time, same
-                # order as the replicated solve above.
+                # the reference's per-shift semantics. Live memory stays
+                # O(N^2), though with a ~2-3x constant: the Kp and Km full
+                # Grams (plus eigh workspace) are live simultaneously per
+                # scan step — same order as the replicated solve above.
                 Kp_panel = jax.lax.dynamic_slice_in_dim(
                     gram_from_features(spec, Fp_full), col * n_loc, n_loc,
                     axis=0)
@@ -269,6 +270,11 @@ def make_admm_step_2d(
     defeating the sharded memory budget; use the replicated solve), and
     in-step condition numbers unavailable (``compute_cond=False``; the
     driver's host backfill is independent of the step and still works).
+    ``psd_fallback`` is likewise inert under "distributed": the row-sharded
+    Cholesky has no eigh-pinv rescue branch (a non-PSD factorization
+    surfaces as NaN NLL rather than being silently repaired) — accepted
+    rather than raised because it is the parameter's default; the driver
+    logs a note when the combination is active.
     """
     if solve not in ("replicated", "distributed"):
         raise ValueError(f"solve must be 'replicated' or 'distributed', got {solve!r}")

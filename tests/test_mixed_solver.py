@@ -305,6 +305,13 @@ def test_driver_retries_flagged_mixed_iteration():
     np.testing.assert_array_equal(r_mixed.z, r_f64.z)
     np.testing.assert_array_equal(np.asarray(r_mixed.theta),
                                   np.asarray(r_f64.theta))
+    # numeric provenance (VERDICT r3 weak #8): a flagged-then-rescued
+    # iteration must be tagged, so its log-det components carry their
+    # accuracy class (exact f64 here, not ~N*eps_f32 mixed)
+    solvers = [row["solver"] for row in r_mixed.nll_history]
+    assert "float64-rescue" in solvers
+    assert all(s in ("mixed", "float64-rescue") for s in solvers)
+    assert all(row["solver"] == "float64" for row in r_f64.nll_history)
 
 
 def test_chained_driver_retries_flagged_mixed_iteration():
@@ -333,9 +340,25 @@ def test_chained_driver_retries_flagged_mixed_iteration():
                                   np.asarray(r_f64.theta))
     np.testing.assert_array_equal(np.asarray(r_mixed.psi),
                                   np.asarray(r_f64.psi))
+    # provenance survives chunk truncation: the rescued mid-chunk row is
+    # tagged, rows solved by the mixed step keep their own tag
+    solvers = [row["solver"] for row in r_mixed.nll_history]
+    assert "float64-rescue" in solvers
+    assert all(s in ("mixed", "float64-rescue") for s in solvers)
 
 
-def test_flag_solvers_ignore_caller_fallback():
+def test_history_rows_tagged_with_resolved_solver():
+    """Un-flagged runs: every nll row carries the resolved gp_dtype and every
+    cv row the resolved cv_dtype (auto -> float64 on the CPU test backend)."""
+    from dqgp_tpu.driver import train, TrainConfig
+
+    spec, X, Y, splits = _mini_problem()
+    res = train(spec, splits, X, Y,
+                TrainConfig(rho=100.0, L=100.0, max_iter=2, cv_folds=2,
+                            seed=42, noise_std=0.1, verbose=False,
+                            compute_cond=False))
+    assert [row["solver"] for row in res.nll_history] == ["float64"] * 2
+    assert [row["solver"] for row in res.cv_history] == ["float64"] * 2
     """The solver string owns the failure semantics: a caller passing
     fallback=True (a plain keyword that would override a functools.partial
     binding) must NOT re-enable the in-program rescue of a '-flag' solver —

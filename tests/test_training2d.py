@@ -434,6 +434,52 @@ def test_mesh2d_distributed_solve_matches_replicated():
                                    atol=1e-3)
 
 
+def test_mesh2d_distributed_solve_float64():
+    """distributed_chol_bracket's advertised float64 path (advisor r3: every
+    distributed-solve test pinned gp_dtype='float32', leaving it untested).
+    x64 is on in this suite (package default), so gp_dtype='float64' must
+    genuinely run the f64 sharded factorization/substitutions.
+
+    Accuracy floor, measured: Gram ENTRIES are f32-built under every
+    gp_dtype (package precision contract — only the solve is f64), and the
+    replicated and distributed programs fuse the f32 entry computation
+    differently, so their C matrices differ at ~1e-7 absolute no matter the
+    solve dtype; the quadratic form amplifies that to ~1e-5 relative NLL.
+    f64-tight cross-path agreement is therefore impossible by construction.
+    What the f64 solve must demonstrably do: (a) not be a silent f32
+    downgrade — its NLL differs bitwise from the f32 solve's on the same
+    panels; (b) sit at the entry-noise floor vs the replicated f64 solve
+    (measured ~1e-5 relative here; entry noise also floors the f32 solve,
+    so "strictly closer than f32" is NOT asserted — verified unmeasurable
+    at this size); (c) keep the 4-dp parity trajectory identical."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    assert jax.config.jax_enable_x64, "suite precondition: x64 on"
+    spec = _spec()
+    batch, theta, psi = _problem(spec, 64, 2)
+
+    mesh = agents_data_mesh(2, 4)
+    batch2, theta2, psi2 = shard_batch_to_mesh_2d(batch, theta, psi, mesh)
+    mk = lambda sv, dt: make_admm_step_2d(
+        spec, mesh, rho=100.0, L=100.0, noise_std=0.1, compute_cond=False,
+        parity_round=True, gp_dtype=dt, solve=sv,
+    )
+    ref = _run(mk("replicated", "float64"), theta2, psi2, batch2)
+    got = _run(mk("distributed", "float64"), theta2, psi2, batch2)
+    f32 = _run(mk("distributed", "float32"), theta2, psi2, batch2)
+    for a, b, c in zip(ref, got, f32):
+        np.testing.assert_array_equal(np.asarray(a.theta), np.asarray(b.theta))
+        np.testing.assert_array_equal(np.asarray(a.z), np.asarray(b.z))
+        nll_ref = np.asarray(a.nll)
+        nll_64 = np.asarray(b.nll)
+        nll_32 = np.asarray(c.nll, np.float64)
+        assert nll_64.dtype == np.float64
+        # (a) vacuity guard: the f64 request is not silently downgraded
+        assert not np.array_equal(nll_64, nll_32)
+        # (b) the f64 solve sits at the f32-Gram-entry floor (~1e-5 rel)
+        np.testing.assert_allclose(nll_64, nll_ref, rtol=5e-5)
+
+
 def test_mesh2d_distributed_solve_ragged_mask():
     """Padded (masked) rows flow through the distributed factorization with
     masked-identity semantics: trajectories match the replicated solve on a
