@@ -2,6 +2,7 @@
 with EXACT kernel derivatives (jacfwd), and beat the reference's h=pi/8
 central difference in accuracy."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -23,6 +24,7 @@ def _setup():
     return spec, X, Y, z
 
 
+@pytest.mark.slow
 def test_autodiff_grad_matches_exact_analytic():
     spec, X, Y, z = _setup()
     mask = jnp.ones(10)

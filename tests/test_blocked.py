@@ -48,6 +48,7 @@ def test_cg_solves_spd_system():
     np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(M, b), rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_large_posterior_matches_dense_cholesky():
     spec, X, theta, F, Y = _setup(N=90)
     Xte = X[80:]
@@ -65,6 +66,7 @@ def test_large_posterior_matches_dense_cholesky():
     assert int(res.iterations) < 400
 
 
+@pytest.mark.slow
 def test_gram_free_blocked_cholesky_matches_dense():
     from dqgp_tpu.parallel.blocked import gram_free_blocked_cholesky, nll_large
     from dqgp_tpu.models.gp.posterior import masked_nll_and_grad
@@ -89,6 +91,7 @@ def test_gram_free_blocked_cholesky_matches_dense():
     assert np.isclose(float(nll), float(ref.nll), rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_pivoted_cholesky_approximates_gram():
     from dqgp_tpu.parallel.blocked import pivoted_cholesky
 
@@ -103,6 +106,7 @@ def test_pivoted_cholesky_approximates_gram():
     assert err_40 < 1e-5    # smooth kernel -> fast spectral decay
 
 
+@pytest.mark.slow
 def test_preconditioned_cg_converges_faster():
     from dqgp_tpu.parallel.blocked import (
         cg_solve, gram_matvec, pivoted_cholesky, woodbury_preconditioner,
@@ -128,6 +132,7 @@ def test_preconditioned_cg_converges_faster():
                                rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_predict_quantum_gp_large_matches_dense():
     """The CG prediction route must agree with the dense posterior to
     cg_tol-governed accuracy (it is the CLI's path above
@@ -160,6 +165,7 @@ def test_predict_quantum_gp_large_matches_dense():
                                rtol=1e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_predict_quantum_gp_large_fidelity():
     """Fidelity kernels carry complex features through the CG route."""
     import jax.numpy as jnp
@@ -225,6 +231,7 @@ def test_lowrank_regularizer_matches_dense_on_indefinite_matrix(method):
     np.testing.assert_allclose(float(reg.lambda_min), -0.8, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_cg_predictor_honors_regularization():
     """make_cg_predictor with spec.regularization set must match the dense
     predict_quantum_gp (whose square train Gram goes through
@@ -253,6 +260,7 @@ def test_cg_predictor_honors_regularization():
                                rtol=1e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_nll_large_honors_regularization():
     """nll_large with spec.regularization must match the dense NLL computed
     on the regularize_gram'ed Gram."""
@@ -287,6 +295,7 @@ def test_nll_large_honors_regularization():
                                float(res.log_det_term), rtol=3e-5, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_lowrank_regularizer_matches_single_chip():
     """The sharded regularizer factory (LOBPCG over the row-sharded Gram
     matvec) must produce the same correction as the single-chip

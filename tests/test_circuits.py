@@ -36,6 +36,7 @@ def test_chebyshev_is_the_only_clipping_family():
         assert c.requires_clipping == (enc == "chebyshev")
 
 
+@pytest.mark.slow
 def test_parameters_affect_state():
     for enc in ENCODING_TYPES:
         c = build_circuit(enc, 3, 2, 2)

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.slow
 def test_cli_quantum_end_to_end(tmp_path):
     from dqgp_tpu.cli import main
 
@@ -53,6 +54,7 @@ def test_cli_dataset_only_and_save(tmp_path):
     assert os.path.exists("quantum_datasets/tiny_1d_20.csv")
 
 
+@pytest.mark.slow
 def test_cli_plots_written(tmp_path):
     from dqgp_tpu.cli import main
 
@@ -68,6 +70,7 @@ def test_cli_plots_written(tmp_path):
         assert os.path.exists(os.path.join(out, f)), f
 
 
+@pytest.mark.slow
 def test_graft_entry():
     import jax
 
@@ -104,6 +107,7 @@ def test_agent_facade_matches_reference_surface():
     assert agent.manifold is not None and agent.riemannian_admm is not None
 
 
+@pytest.mark.slow
 def test_cli_multi_pauli_measurement():
     from dqgp_tpu.cli import main
 
@@ -116,6 +120,7 @@ def test_cli_multi_pauli_measurement():
     assert np.isfinite(s["test_metrics"]["rmse"])
 
 
+@pytest.mark.slow
 def test_cli_autodiff_grad_method():
     from dqgp_tpu.cli import main
 
@@ -128,6 +133,7 @@ def test_cli_autodiff_grad_method():
     assert np.isfinite(s["test_metrics"]["nlpd"])
 
 
+@pytest.mark.slow
 def test_cli_cg_prediction_route_matches_dense():
     """--predict-cg-threshold below n_train routes the final predict through
     the matrix-free CG posterior (cli.py large_n branch); its predictions
@@ -193,6 +199,7 @@ def test_cli_flag_inventory_stable():
     assert not missing, f"flags removed from the CLI surface: {sorted(missing)}"
 
 
+@pytest.mark.slow
 def test_example_scale_out_training_runs(tmp_path):
     """The documented example invocation must work from a plain checkout
     (it broke once: no repo-relative import path + the sitecustomize

@@ -37,6 +37,7 @@ def _setup(n_agents=8, n_per=6, seed=0):
     return spec, batch, jnp.asarray(theta), jnp.asarray(psi), splits
 
 
+@pytest.mark.slow
 def test_single_device_step_matches_oracle():
     spec, batch, theta, psi, splits = _setup(n_agents=4)
     rho = L = 100.0

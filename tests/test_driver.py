@@ -25,6 +25,7 @@ def _make_problem(n=48, seed=42):
     return spec, X, Y, gt
 
 
+@pytest.mark.slow
 def test_end_to_end_training_and_prediction(tmp_path):
     spec, X, Y, gt = _make_problem()
     n_train = 40
@@ -127,6 +128,7 @@ def test_cv_patience_with_no_valid_cv_does_not_crash():
     assert np.all(np.isfinite(res.z))
 
 
+@pytest.mark.slow
 def test_chained_dispatch_matches_per_iteration():
     """chain_iters>1 runs k iterations per device program; the trajectory,
     CV history, and final state must match per-iteration dispatch exactly
@@ -162,6 +164,7 @@ def test_chained_dispatch_matches_per_iteration():
                                    rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_chained_dispatch_no_cv_and_checkpoints(tmp_path):
     """Chained mode without CV, mid-chunk checkpointing: checkpoint at an
     iteration inside a chunk must carry that iteration's theta/psi."""
@@ -188,6 +191,7 @@ def test_chained_dispatch_no_cv_and_checkpoints(tmp_path):
     np.testing.assert_allclose(resumed.theta, a.theta, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_chained_dispatch_on_mesh():
     """Chained dispatch over a 4-device agents mesh (scan body contains the
     shard_map'd step) must reproduce the per-iteration trajectory on the
@@ -207,6 +211,7 @@ def test_chained_dispatch_on_mesh():
     np.testing.assert_array_equal(b.psi, a.psi)
 
 
+@pytest.mark.slow
 def test_host_cond_mode_matches_device():
     """cond_mode="host" backfills exact f64 eigvalsh condition numbers that
     match the in-program (device) values. Equal-size shards make the device
@@ -307,6 +312,7 @@ def test_host_cond_f64_resolves_beyond_f32_floor():
     assert cond_f64 > 30 * cond_f32_built, (cond_f64, cond_f32_built)
 
 
+@pytest.mark.slow
 def test_gram_f64_dtype_and_agreement():
     """gram(..., dtype=float64) returns a float64 Gram that agrees with the
     f32 production path to f32 accuracy (same physics, higher precision)."""

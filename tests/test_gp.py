@@ -43,6 +43,7 @@ def ref_nll_and_grad(K, dK, y, noise_std):
     return nll, grad, 0.5 * log_det, 0.5 * y @ C_inv_y
 
 
+@pytest.mark.slow
 def test_nll_and_grad_vs_oracle():
     spec = _spec()
     X, Y, theta = _toy()
@@ -61,6 +62,7 @@ def test_nll_and_grad_vs_oracle():
     assert np.isclose(float(res.condition_number), np.linalg.cond(Kn), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_nll_masking_equivalence():
     """Padded+masked NLL/grad must equal the unpadded computation."""
     spec = _spec()
@@ -82,6 +84,7 @@ def test_nll_masking_equivalence():
     np.testing.assert_allclose(np.asarray(res_pad.grad), np.asarray(res_full.grad), rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_posterior_vs_numpy():
     spec = _spec()
     X, Y, theta = _toy(N=20)
@@ -131,6 +134,7 @@ def test_cv_consensus_runs_and_scores():
     assert out["mean_nlpd"] == out2["mean_nlpd"]
 
 
+@pytest.mark.slow
 def test_cv_matches_unbatched_predict():
     """Fold NLPD from the vmapped CV path == naive per-fold predict path."""
     from sklearn.model_selection import KFold
@@ -164,6 +168,7 @@ def test_evaluate_predictions_matches_sklearn():
     assert "nlpd" in m and np.isfinite(m["nlpd"])
 
 
+@pytest.mark.slow
 def test_cv_float32_mode_close_to_f64():
     spec = _spec()
     X, Y, theta = _toy(N=30, seed=8)

@@ -33,6 +33,7 @@ def _data(spec, N=6, seed=0):
     return X, theta
 
 
+@pytest.mark.slow
 def test_fidelity_gram_identities():
     spec = _spec("fidelity")
     X, theta = _data(spec)
@@ -113,6 +114,7 @@ def test_shift_parameter_batch_wraps_like_reference():
 
 
 @pytest.mark.parametrize("kernel_type", ["fidelity", "projected"])
+@pytest.mark.slow
 def test_shift_grads_vs_slow_oracle(kernel_type):
     spec = _spec(kernel_type, n=2, d=1, layers=1)
     X, theta = _data(spec, N=4)
@@ -211,6 +213,7 @@ def test_measurement_validation_at_construction():
     assert F.shape == (5, 3)
 
 
+@pytest.mark.slow
 def test_full_parity_surface_grams_psd():
     """SURVEY.md parity checklist smoke: every encoding x kernel type (one
     outer kernel), every outer kernel (one encoding), and both

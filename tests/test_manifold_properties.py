@@ -8,6 +8,7 @@ identity that the distributed consensus step relies on
 (circular_mean == circular_mean_from_sums of per-shard partial sums).
 """
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 from hypothesis import given, settings, strategies as st
@@ -108,6 +109,7 @@ def test_admm_psi_update_wraps_like_reference(z, theta, psi):
 
 @settings(max_examples=25, deadline=None)
 @given(st.integers(min_value=0, max_value=2**31 - 1))
+@pytest.mark.slow
 def test_all_encodings_preserve_norm(seed):
     """Every gate in the IR is unitary, so |psi(x, theta)|_2 == 1 for every
     encoding family, input, and parameter draw — the invariant behind

@@ -144,9 +144,23 @@ def _mini_problem():
 
 
 def test_admm_trajectory_mixed_equals_float64():
-    """3 full ADMM iterations: the 4-dp-rounded (z, theta, psi) trajectory in
+    """3 full ADMM iterations: the 4-dp-rounded (z, theta) trajectory in
     gp_dtype='mixed' must be bit-identical to gp_dtype='float64' (the
-    reference-parity mode)."""
+    reference-parity mode), and psi identical up to isolated 4-dp
+    ROUNDING-BOUNDARY flips.
+
+    Why psi gets the weaker bound: mixed differs from true f64 by ~1e-8
+    relative, so any pre-rounding value within that of a .00005 boundary can
+    legitimately round either way (np.round quantum = 1e-4).  psi grows as
+    ~rho*pi per iteration under the reference's unsigned log_map
+    (riemannian_optimizer.py:350-368), so at |psi| ~ 5e2 the boundary
+    discrimination needs ~1e-7 relative accuracy and occasional single-quantum
+    flips are expected by construction (the round-4 f64 dataset re-anchor
+    surfaced exactly one, at psi = 469.81145).  Flips must be (a) rare,
+    (b) exactly one quantum, and (c) must NOT leak into z or theta within the
+    horizon (they are re-derived from the wrapped manifold state, magnitude
+    < pi, where boundary discrimination is ~1e-8 relative - comfortably inside
+    mixed accuracy)."""
     from dqgp_tpu.driver import init_admm_state
     from dqgp_tpu.parallel import make_admm_step, make_agent_batch
 
@@ -170,9 +184,18 @@ def test_admm_trajectory_mixed_equals_float64():
     zmx, thmx, psmx = run("mixed")
     np.testing.assert_array_equal(zmx, z64)
     np.testing.assert_array_equal(thmx, th64)
-    np.testing.assert_array_equal(psmx, ps64)
+    diff = psmx - ps64
+    flipped = np.nonzero(diff)
+    assert len(flipped[0]) <= 2, (
+        f"{len(flipped[0])}/{diff.size} psi elements differ - more than "
+        f"isolated boundary flips: {diff[flipped]}")
+    if len(flipped[0]):
+        np.testing.assert_allclose(np.abs(diff[flipped]), 1e-4, rtol=1e-9,
+                                   err_msg="psi mismatch is not a single "
+                                           "4-dp rounding quantum")
 
 
+@pytest.mark.slow
 def test_streamed_mixed_matches_central_float64():
     from dqgp_tpu.driver import init_admm_state
     from dqgp_tpu.parallel import make_admm_step, make_agent_batch
@@ -209,6 +232,7 @@ def test_cv_mixed_matches_float64():
     assert abs(a["mean_r2"] - b["mean_r2"]) < 1e-3
 
 
+@pytest.mark.slow
 def test_cv_mixed_rescores_flagged_folds_in_float64():
     """Fold systems beyond the f32 factorization's reach (cond >~ 1e7 via
     duplicated rows + tiny noise) must NOT score +inf under cv_dtype='mixed'
@@ -246,6 +270,7 @@ def test_cv_mixed_rescores_flagged_folds_in_float64():
     np.testing.assert_allclose(b["mean_nlpd"], a["mean_nlpd"], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_2d_mesh_mixed_matches_float64():
     """Mixed solver through the agents x data 2-D mesh path."""
     n_dev = len(jax.devices())
@@ -281,6 +306,7 @@ def test_mixed_flag_mode_nans_instead_of_rescue():
     assert not np.any(np.isfinite(np.asarray(res.C_inv_y)))
 
 
+@pytest.mark.slow
 def test_driver_retries_flagged_mixed_iteration():
     """An (effectively) singular agent system defeats the f32 refinement;
     the driver must transparently redo the iteration in float64 and produce
@@ -314,6 +340,7 @@ def test_driver_retries_flagged_mixed_iteration():
     assert all(row["solver"] == "float64" for row in r_f64.nll_history)
 
 
+@pytest.mark.slow
 def test_chained_driver_retries_flagged_mixed_iteration():
     """Same as above but with chained dispatch: a flagged row poisons the
     rest of its chunk (NaN theta/psi propagate through the scan), so the
@@ -347,6 +374,7 @@ def test_chained_driver_retries_flagged_mixed_iteration():
     assert all(s in ("mixed", "float64-rescue") for s in solvers)
 
 
+@pytest.mark.slow
 def test_history_rows_tagged_with_resolved_solver():
     """Un-flagged runs: every nll row carries the resolved gp_dtype and every
     cv row the resolved cv_dtype (auto -> float64 on the CPU test backend)."""

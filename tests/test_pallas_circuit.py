@@ -14,6 +14,7 @@ from dqgp_tpu.ops.pallas_circuit import (
 
 
 @pytest.mark.parametrize("enc", ENCODING_TYPES)
+@pytest.mark.slow
 def test_pallas_states_match_xla(enc):
     c = build_circuit(enc, 3, 2, 2)
     rng = np.random.RandomState(0)
@@ -27,6 +28,7 @@ def test_pallas_states_match_xla(enc):
 
 
 @pytest.mark.parametrize("enc", ["chebyshev", "yz_cx", "kyriienko"])
+@pytest.mark.slow
 def test_pallas_pauli_features_match_xla(enc):
     c = build_circuit(enc, 4, 2, 2)
     rng = np.random.RandomState(1)

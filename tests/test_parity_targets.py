@@ -45,6 +45,7 @@ def test_targets_cover_baseline_configs(targets):
         assert c["test_r2"] > 0.0, c["config"]
 
 
+@pytest.mark.slow
 def test_config1_small_regression(targets):
     from sklearn.model_selection import train_test_split
 
@@ -89,6 +90,7 @@ def test_config1_small_regression(targets):
     assert abs(float(result.error_best) - rec["gt_recovery_riemannian"]) < 1e-4
 
 
+@pytest.mark.slow
 def test_config2_small_srtm_regression(targets):
     """SRTM anchor: bit-identical selected z against the recorded target.
 

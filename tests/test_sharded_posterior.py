@@ -47,6 +47,7 @@ def test_sharded_posterior_matches_dense():
     np.testing.assert_allclose(np.asarray(var), np.asarray(want_var), rtol=1e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_posterior_block_streaming_matches_dense():
     """block < N takes the scanned column-block matvec (live Gram tile
     bounded at (N_local, block)); results must match the dense-panel path."""
@@ -83,6 +84,7 @@ def test_sharded_posterior_block_streaming_matches_dense():
                                rtol=1e-3, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_distributed_cholesky_nll_matches_dense():
     from dqgp_tpu.parallel.blocked import make_distributed_cholesky_nll
     from dqgp_tpu.models.gp.posterior import masked_nll_and_grad
@@ -116,6 +118,7 @@ def test_distributed_cholesky_nll_matches_dense():
     assert np.isclose(float(quad), float(ref.quadratic_term), rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_sharded_posterior_honors_regularization():
     """make_sharded_posterior with spec.regularization set must match the
     dense predict_quantum_gp (whose square train Gram goes through the exact

@@ -56,6 +56,7 @@ def _run(step, theta, psi, batch, iters=3):
     return outs
 
 
+@pytest.mark.slow
 def test_streamed_equals_central():
     """grad_method='streamed' computes the same central difference as
     'central'; results agree to XLA reduction-order tolerance (batched vs
@@ -77,6 +78,7 @@ def test_streamed_equals_central():
     np.testing.assert_allclose(np.asarray(a.nll), np.asarray(b.nll), rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_streamed_parity_rounding_identical():
     """With the reference's 4-dp rounding, trajectories must match exactly."""
     spec = _spec()
@@ -92,6 +94,7 @@ def test_streamed_parity_rounding_identical():
 
 
 @pytest.mark.parametrize("rows,cols", [(4, 2), (2, 4), (1, 8)])
+@pytest.mark.slow
 def test_mesh2d_matches_single_device(rows, cols):
     """agents x data 2-D mesh == single-device vmap path, step for step."""
     if len(jax.devices()) < rows * cols:
@@ -127,6 +130,7 @@ def test_mesh2d_matches_single_device(rows, cols):
         np.testing.assert_allclose(np.asarray(a.nll), np.asarray(b.nll), rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_mesh2d_non_power_of_two_data_axis():
     """cols=3: the replication marker on the NLL scalars must stay exact
     (pmax of identical shard values; pmean's psum/3 would round in the last
@@ -159,6 +163,7 @@ def test_mesh2d_non_power_of_two_data_axis():
                                    rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_mesh2d_agents_mesh_equivalence_unrounded():
     """Without parity rounding the 2-D mesh still matches the 1-D agents mesh
     to float tolerance (different psum reduction orders)."""
@@ -186,6 +191,7 @@ def test_mesh2d_agents_mesh_equivalence_unrounded():
                                rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_mesh2d_trains_where_dense_dk_would_blow_up():
     """Config-#7-shaped step on the 8-device CPU mesh: 8 agents x 256 rows
     with a 6-qubit 3-layer chebyshev circuit (P=60). The dense gradient
@@ -215,6 +221,7 @@ def test_mesh2d_trains_where_dense_dk_would_blow_up():
     assert not np.array_equal(np.asarray(out.theta), np.asarray(theta))
 
 
+@pytest.mark.slow
 def test_driver_train_2d_autodiff():
     """driver.train(data_mesh_cols=2, grad_method='autodiff') — the r2
     NotImplementedError is gone; the 2-D autodiff trajectory matches the
@@ -237,6 +244,7 @@ def test_driver_train_2d_autodiff():
     assert abs(r1.cv_best - r2.cv_best) < 1e-6
 
 
+@pytest.mark.slow
 def test_driver_train_on_2d_mesh():
     """driver.train(data_mesh_cols=2) runs the full training loop (CV, best-z
     tracking) on the agents x data mesh and matches the 1-D path's selected
@@ -259,6 +267,7 @@ def test_driver_train_on_2d_mesh():
 
 
 @pytest.mark.parametrize("rows,cols", [(4, 2), (2, 3)])
+@pytest.mark.slow
 def test_mesh2d_autodiff_matches_1d_autodiff(rows, cols):
     """grad_method='autodiff' on the agents x data mesh must produce the same
     exact gradients as the single-device autodiff path (VERDICT r2 #4). Two
@@ -297,6 +306,7 @@ def test_mesh2d_autodiff_matches_1d_autodiff(rows, cols):
                                rtol=1e-6, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_mesh2d_autodiff_parity_rounding_trajectory():
     """With 4-dp rounding, the 2-D autodiff trajectory matches the 1-D
     autodiff trajectory step for step (rounding absorbs reduction noise)."""
@@ -328,6 +338,7 @@ def test_mesh2d_autodiff_parity_rounding_trajectory():
     ("tikhonov", "central"),
     ("thresholding", "autodiff"),
 ])
+@pytest.mark.slow
 def test_mesh2d_regularization_matches_1d(reg, gm):
     """Square-Gram regularization on the 2-D mesh: each shifted Gram is
     spectrally clipped WHOLE before the panel slice (reference per-shift
@@ -363,6 +374,7 @@ def test_mesh2d_regularization_matches_1d(reg, gm):
                                    rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_driver_train_2d_ragged_shards():
     """Regional splits produce ragged shard sizes; the driver must round
     per-agent padding up to the data-column count."""
@@ -384,6 +396,7 @@ def test_driver_train_2d_ragged_shards():
     assert np.all(np.isfinite(r.z))
 
 
+@pytest.mark.slow
 def test_driver_chained_on_2d_mesh():
     """Chained dispatch wraps whatever step the driver built — including the
     agents x data 2-D mesh step; trajectory must match per-iteration
@@ -407,6 +420,7 @@ def test_driver_chained_on_2d_mesh():
     np.testing.assert_array_equal(np.asarray(b.psi), np.asarray(a.psi))
 
 
+@pytest.mark.slow
 def test_mesh2d_distributed_solve_matches_replicated():
     """solve='distributed' (row-sharded Cholesky + bracket,
     blocked.distributed_chol_bracket) produces the same trajectory as the
@@ -434,6 +448,7 @@ def test_mesh2d_distributed_solve_matches_replicated():
                                    atol=1e-3)
 
 
+@pytest.mark.slow
 def test_mesh2d_distributed_solve_float64():
     """distributed_chol_bracket's advertised float64 path (advisor r3: every
     distributed-solve test pinned gp_dtype='float32', leaving it untested).
@@ -480,6 +495,7 @@ def test_mesh2d_distributed_solve_float64():
         np.testing.assert_allclose(nll_64, nll_ref, rtol=5e-5)
 
 
+@pytest.mark.slow
 def test_mesh2d_distributed_solve_ragged_mask():
     """Padded (masked) rows flow through the distributed factorization with
     masked-identity semantics: trajectories match the replicated solve on a
@@ -532,6 +548,7 @@ def test_mesh2d_distributed_solve_static_guards():
         make_admm_step_2d(_spec(), mesh, compute_cond=True, **base)
 
 
+@pytest.mark.slow
 def test_driver_train_2d_distributed_solve():
     """Driver end-to-end on the 2-D mesh with solve_2d='distributed':
     trajectory equals the replicated solve's."""
