@@ -90,6 +90,11 @@ def generate_quantum_gp_data(
             else "float32"
         )
     if gram_dtype == "float64":
+        if not jax.config.jax_enable_x64:
+            raise ValueError(
+                "gram_dtype='float64' requires x64 (unset DQGP_X64=0 or "
+                "enable jax_enable_x64); with x64 off the Gram would "
+                "silently be float32-grade")
         # np.array (copy) not np.asarray: a dtype-matching f64 jax array on
         # CPU aliases device memory read-only, and the diagonal jitter below
         # mutates K in place.

@@ -69,6 +69,39 @@ def test_jax_platforms_env_honored_without_manual_pin():
     assert r.stdout.strip().splitlines()[-1] == "cpu"
 
 
+def test_x64_off_rejects_explicit_float64_requests():
+    """With DQGP_X64=0, an explicit float64 request must raise rather than
+    silently return float32-grade values under an f64 label — both on the
+    QuantumKernel facade and the dataset generator."""
+    code = "\n".join([
+        "import jax",
+        "jax.config.update('jax_platforms','cpu')",
+        "import dqgp_tpu",
+        "from dqgp_tpu.models.circuits import build_circuit",
+        "from dqgp_tpu.models.kernels import QuantumKernelSpec",
+        "from dqgp_tpu.models.kernels.quantum_kernel import QuantumKernel",
+        "from dqgp_tpu.data import generate_quantum_gp_data",
+        "spec = QuantumKernelSpec(circuit=build_circuit('hubregtsen', 2, 1, 1),",
+        "                         kernel_type='projected', outer_kernel='gaussian')",
+        "def expect_raise(fn):",
+        "    try:",
+        "        fn()",
+        "    except ValueError as e:",
+        "        assert 'x64' in str(e), e",
+        "    else:",
+        "        raise AssertionError('no ValueError')",
+        "expect_raise(lambda: QuantumKernel(spec, dtype='float64'))",
+        "expect_raise(lambda: generate_quantum_gp_data(",
+        "    num_samples=4, input_dim=1, spec=spec, gram_dtype='float64'))",
+        "# auto must quietly resolve to f32 (no raise) when x64 is off",
+        "QuantumKernel(spec, dtype='auto')",
+        "print('GUARDS_OK')",
+    ])
+    r = _run(code, JAX_PLATFORMS="cpu", DQGP_X64="0")
+    assert r.returncode == 0, r.stderr[-1000:]
+    assert r.stdout.strip().splitlines()[-1] == "GUARDS_OK"
+
+
 def test_resolve_dtype_mode_passthrough():
     from dqgp_tpu.config import resolve_dtype_mode
 
