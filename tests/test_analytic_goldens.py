@@ -138,11 +138,11 @@ X0 = 0.37  # feature value (inside every family's domain)
 TH = np.array([0.576, 2.450, 1.875, 1.401, 0.314, 1.443, 0.912])  # angle pool
 
 
-def pipeline_state(name, theta, x=X0, d=1):
+def pipeline_state(name, theta, x=X0, d=1, layers=1):
     """The state under test: full pipeline, complex128, one sample."""
-    circ = build_circuit(name, num_qubits=2, num_features=d, num_layers=1)
+    circ = build_circuit(name, num_qubits=2, num_features=d, num_layers=layers)
     assert circ.num_parameters == len(theta), (
-        f"{name}: expected P={len(theta)} at (2 qubits, 1 layer), "
+        f"{name}: expected P={len(theta)} at (2 qubits, {layers} layer(s)), "
         f"got {circ.num_parameters}"
     )
     from dqgp_tpu.ops.statevector import batched_states  # engine entry point
@@ -333,6 +333,95 @@ def test_highdim_golden_matrices():
     np.testing.assert_allclose(
         pipeline_state("highdim", th, x=x2, d=2), expected_highdim(th, x2),
         atol=ATOL)
+
+
+# ---------------------------------------------------------------------------
+# Multi-layer stacking goldens: 2 qubits / 2 layers as literal matrix
+# products. The single-layer goldens above pin each family's per-layer gate
+# content; these pin the CROSS-layer composition — layer-block repetition
+# order and the parameter index advancing across layers — which the
+# parameter-count formulas alone cannot distinguish from, e.g., a circuit
+# that re-uses layer-0 parameters or permutes blocks between layers.
+# Stacking structure source: the same published descriptions as the 1-layer
+# goldens (each family repeats its full encoding+variational layer block;
+# chebyshev additionally has a single non-repeated initial Ry block).
+# The expected values below never flow through the IR/engine/oracle.
+# ---------------------------------------------------------------------------
+
+TH2 = np.array([0.576, 2.450, 1.875, 1.401, 0.314, 1.443, 0.912,
+                2.118, 0.207, 1.766, 2.901, 0.655])  # 12-angle pool
+
+
+def expected_hubregtsen_2layers(theta, x):
+    p = theta  # 6 params: [Ry q0, Ry q1, CRZ] x 2 layers
+    layer = lambda k: [  # noqa: E731
+        on(H_MAT, 0), on(rz(x), 0),
+        on(H_MAT, 1), on(rz(x), 1),
+        on(ry(p[3 * k + 0]), 0), on(ry(p[3 * k + 1]), 1),
+        ctrl(rz(p[3 * k + 2]), 0, 1),
+    ]
+    return apply(layer(0) + layer(1))
+
+
+def test_hubregtsen_two_layer_golden():
+    th = TH2[:6]
+    np.testing.assert_allclose(
+        pipeline_state("hubregtsen", th, layers=2),
+        expected_hubregtsen_2layers(th, X0), atol=ATOL)
+
+
+def expected_yz_cx_2layers(theta, x):
+    p = theta  # 8 params: [Ry q0, Rz q0, Ry q1, Rz q1] x 2 layers
+    layer = lambda k: [  # noqa: E731
+        on(ry(p[4 * k + 0] + x), 0), on(rz(p[4 * k + 1] + x), 0),
+        on(ry(p[4 * k + 2] + x), 1), on(rz(p[4 * k + 3] + x), 1),
+        ctrl(X_PAULI, 0, 1),
+    ]
+    return apply(layer(0) + layer(1))
+
+
+def test_yz_cx_two_layer_golden():
+    th = TH2[:8]
+    np.testing.assert_allclose(
+        pipeline_state("yz_cx", th, layers=2),
+        expected_yz_cx_2layers(th, X0), atol=ATOL)
+
+
+def expected_chebyshev_2layers(theta, x):
+    p = theta  # 12 params: initial Ry block (2) + [Rx towers (2), CRZ (1),
+    phi = np.arccos(np.clip(x, -1.0, 1.0))  # Ry block (2)] x 2 layers
+    layer = lambda k: [  # noqa: E731
+        on(rx(p[2 + 5 * k + 0] * phi), 0), on(rx(p[2 + 5 * k + 1] * phi), 1),
+        ctrl(rz(p[2 + 5 * k + 2]), 0, 1),
+        on(ry(p[2 + 5 * k + 3]), 0), on(ry(p[2 + 5 * k + 4]), 1),
+    ]
+    return apply([on(ry(p[0]), 0), on(ry(p[1]), 1)] + layer(0) + layer(1))
+
+
+def test_chebyshev_two_layer_golden():
+    th = TH2[:12]
+    np.testing.assert_allclose(
+        pipeline_state("chebyshev", th, layers=2),
+        expected_chebyshev_2layers(th, X0), atol=ATOL)
+
+
+def expected_kyriienko_2layers(theta, x):
+    p = theta  # 8 params: [Ry q0, Rz q0, Ry q1, Rz q1] HEA x 2 layers; the
+    phi = np.arccos(x)  # Chebyshev-tower feature map repeats per layer
+    layer = lambda k: [  # noqa: E731
+        on(ry(2.0 * phi), 0), on(ry(4.0 * phi), 1),
+        on(ry(p[4 * k + 0]), 0), on(rz(p[4 * k + 1]), 0),
+        on(ry(p[4 * k + 2]), 1), on(rz(p[4 * k + 3]), 1),
+        ctrl(X_PAULI, 0, 1),
+    ]
+    return apply(layer(0) + layer(1))
+
+
+def test_kyriienko_two_layer_golden():
+    th = TH2[:8]
+    np.testing.assert_allclose(
+        pipeline_state("kyriienko", th, layers=2),
+        expected_kyriienko_2layers(th, X0), atol=ATOL)
 
 
 # ---------------------------------------------------------------------------
