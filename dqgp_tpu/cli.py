@@ -123,6 +123,24 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--srtm-time-seed", action="store_true",
                         help="reproduce the reference's time-based SRTM seeding "
                              "(main.py:2136-2138); default uses --seed for reproducibility")
+    parser.add_argument("--generating-noise-std", type=float, default=None,
+                        help="sample the synthetic quantum dataset with THIS "
+                             "noise while the GP still uses --noise-std — a "
+                             "deliberate-misspecification experiment knob "
+                             "(default: --noise-std, the reference's "
+                             "single-constant behavior)")
+    parser.add_argument("--fit-noise", action="store_true",
+                        help="after training, refit --noise-std by maximizing "
+                             "the training marginal likelihood at the selected "
+                             "hyperparameters (models/gp/noise.py) and predict "
+                             "with the fitted value; the reference keeps the "
+                             "CLI constant (misspecified on real data — see "
+                             "docs/PERFORMANCE.md SRTM calibration)")
+    parser.add_argument("--predictive-noise", action="store_true",
+                        help="evaluate the OBSERVED-Y predictive variance "
+                             "(latent variance + noise_std^2); the reference "
+                             "scores latent variance only (main.py:1429-1466), "
+                             "which under-covers exactly by the noise term")
     parser.add_argument("--checkpoint-dir", type=str, default=None)
     parser.add_argument("--checkpoint-every", type=int, default=10)
     parser.add_argument("--resume-from", type=str, default=None)
@@ -315,9 +333,12 @@ def main(argv=None):
                 f"{recommended.get(input_dim)}")
         spec = make_spec(input_dim)
         t0 = time.time()
+        gen_noise = (args.generating_noise_std
+                     if args.generating_noise_std is not None
+                     else args.noise_std)
         X_full, Y_full, ground_truth_params = generate_quantum_gp_data(
             args.n_dataset, input_dim, spec,
-            data_range=tuple(args.data_range), noise_std=args.noise_std,
+            data_range=tuple(args.data_range), noise_std=gen_noise,
             kernel_params=(np.array(args.kernel_params) if args.kernel_params else None),
             data_seed=args.data_seed, param_seed=args.seed, verbose=not args.quiet,
         )
@@ -406,6 +427,9 @@ def main(argv=None):
             "low-rank eigenvalue clip")
 
     _cg_predictors = {}
+    # predict/eval noise: --fit-noise below may replace the CLI constant
+    # with the marginal-likelihood optimum at the selected hyperparameters
+    eval_noise = {"std": args.noise_std}
 
     def _predict(X_eval, params):
         params64 = jnp.asarray(params, jnp.float64)
@@ -418,7 +442,7 @@ def main(argv=None):
             key = np.asarray(params, np.float64).tobytes()
             if key not in _cg_predictors:
                 _cg_predictors[key] = make_cg_predictor(
-                    spec, X_train, Y_train, params64, args.noise_std)
+                    spec, X_train, Y_train, params64, eval_noise["std"])
             return _cg_predictors[key](X_eval)
         # honor --gp-dtype on the final predict too: float64 must force the
         # direct solve everywhere (the documented mixed-solver escape hatch).
@@ -429,13 +453,43 @@ def main(argv=None):
                   "mixed": "mixed"}.get(args.gp_dtype, "auto")
         return predict_quantum_gp(
             spec, jnp.asarray(X_train), jnp.asarray(Y_train),
-            jnp.asarray(X_eval), params64, noise_std=args.noise_std,
+            jnp.asarray(X_eval), params64, noise_std=eval_noise["std"],
             solver=solver)
+
+    def _eval_var(var):
+        """Variance handed to metrics/plots: latent (reference semantics) or
+        observed-Y (+noise^2) under --predictive-noise."""
+        var = np.asarray(var)
+        return var + eval_noise["std"] ** 2 if args.predictive_noise else var
+
+    noise_fit_info = None
+    if args.fit_noise:
+        if large_n:
+            log("--fit-noise skipped: needs the dense training Gram "
+                f"(n_train={len(X_train)} > --predict-cg-threshold="
+                f"{args.predict_cg_threshold})")
+        else:
+            from .models.gp import fit_noise_std as _fit_noise_std
+
+            fit = _fit_noise_std(
+                spec, X_train, Y_train, np.asarray(hyperparams, np.float64),
+                current_noise_std=args.noise_std)
+            eval_noise["std"] = fit.noise_std
+            noise_fit_info = {
+                "fitted_noise_std": fit.noise_std,
+                "input_noise_std": args.noise_std,
+                "train_nmll_fitted": fit.nmll,
+                "train_nmll_input": fit.nmll_at_input,
+            }
+            log(f"--fit-noise: noise_std {args.noise_std} -> "
+                f"{fit.noise_std:.4f} (train NMLL "
+                f"{fit.nmll_at_input:.1f} -> {fit.nmll:.1f})")
 
     if large_n:
         log(f"n_train={len(X_train)} > --predict-cg-threshold="
             f"{args.predict_cg_threshold}: matrix-free CG posterior")
     mean, var = _predict(X_test, hyperparams)
+    var = _eval_var(var)
     test_metrics = evaluate_predictions(Y_test, np.asarray(mean), np.asarray(var),
                                         "Test", verbose=not args.quiet)
     # overfitting check (main.py:3162-3182); at scale, on a seeded subsample
@@ -449,6 +503,7 @@ def main(argv=None):
         X_tr_eval, Y_tr_eval = X_train, Y_train
         train_label = "Train"
     mean_tr, var_tr = _predict(X_tr_eval, hyperparams)
+    var_tr = _eval_var(var_tr)
     train_metrics = evaluate_predictions(Y_tr_eval, np.asarray(mean_tr), np.asarray(var_tr),
                                          train_label, verbose=not args.quiet)
 
@@ -467,6 +522,7 @@ def main(argv=None):
                   "self-consistent but not squlearn-comparable "
                   "(docs/PARITY.md, 'random' row)")
         gt_mean, gt_var = _predict(X_test, ground_truth_params)
+        gt_var = _eval_var(gt_var)
         gt_metrics = evaluate_predictions(Y_test, np.asarray(gt_mean), np.asarray(gt_var),
                                           "Ground-truth-params Test", verbose=False)
         gt_err = M.np_distance(np.asarray(hyperparams), ground_truth_params)
@@ -524,6 +580,8 @@ def main(argv=None):
                        if gt_metrics else None),
         "gt_error_best": res.error_best if ground_truth_params is not None else None,
         "gt_comparison": gt_comparison,
+        "noise_fit": noise_fit_info,
+        "eval_noise_std": eval_noise["std"],
         "nll_error_correlation": nll_corr,
         "nll_history": res.nll_history,
         "cv_history": [
