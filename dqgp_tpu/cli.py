@@ -464,26 +464,35 @@ def main(argv=None):
 
     noise_fit_info = None
     if args.fit_noise:
-        if large_n:
-            log("--fit-noise skipped: needs the dense training Gram "
-                f"(n_train={len(X_train)} > --predict-cg-threshold="
-                f"{args.predict_cg_threshold})")
-        else:
-            from .models.gp import fit_noise_std as _fit_noise_std
+        from .models.gp import fit_noise_std as _fit_noise_std
 
-            fit = _fit_noise_std(
-                spec, X_train, Y_train, np.asarray(hyperparams, np.float64),
-                current_noise_std=args.noise_std)
-            eval_noise["std"] = fit.noise_std
-            noise_fit_info = {
-                "fitted_noise_std": fit.noise_std,
-                "input_noise_std": args.noise_std,
-                "train_nmll_fitted": fit.nmll,
-                "train_nmll_input": fit.nmll_at_input,
-            }
-            log(f"--fit-noise: noise_std {args.noise_std} -> "
-                f"{fit.noise_std:.4f} (train NMLL "
-                f"{fit.nmll_at_input:.1f} -> {fit.nmll:.1f})")
+        if large_n:
+            # the exact fit needs the dense training Gram; past the CG
+            # threshold, fit on a seeded subsample instead (the MLL noise
+            # estimator's stderr is ~sigma/sqrt(2n) — ~1.6% at n=2048)
+            fit_n = min(len(X_train), max(args.predict_cg_threshold, 2048))
+            sel = np.random.RandomState(args.seed).choice(
+                len(X_train), fit_n, replace=False)
+            X_fit, Y_fit = X_train[sel], Y_train[sel]
+            log(f"--fit-noise: n_train={len(X_train)} exceeds the dense-Gram "
+                f"budget; fitting on a seeded {fit_n}-sample subsample")
+        else:
+            fit_n = len(X_train)
+            X_fit, Y_fit = X_train, Y_train
+        fit = _fit_noise_std(
+            spec, X_fit, Y_fit, np.asarray(hyperparams, np.float64),
+            current_noise_std=args.noise_std)
+        eval_noise["std"] = fit.noise_std
+        noise_fit_info = {
+            "fitted_noise_std": fit.noise_std,
+            "input_noise_std": args.noise_std,
+            "train_nmll_fitted": fit.nmll,
+            "train_nmll_input": fit.nmll_at_input,
+            "fit_samples": int(fit_n),
+        }
+        log(f"--fit-noise: noise_std {args.noise_std} -> "
+            f"{fit.noise_std:.4f} (train NMLL "
+            f"{fit.nmll_at_input:.1f} -> {fit.nmll:.1f}, n={fit_n})")
 
     if large_n:
         log(f"n_train={len(X_train)} > --predict-cg-threshold="

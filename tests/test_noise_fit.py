@@ -95,3 +95,23 @@ def test_cli_fit_noise_and_predictive_noise(tmp_path):
     assert fitted["test_metrics"]["nlpd"] < base["test_metrics"]["nlpd"]
     assert base["noise_fit"] is None
     assert base["eval_noise_std"] == pytest.approx(0.1)
+
+
+@pytest.mark.slow
+def test_cli_fit_noise_subsamples_past_cg_threshold(tmp_path):
+    """Past --predict-cg-threshold the exact dense-Gram fit is replaced by a
+    seeded-subsample fit (forced cheaply here by shrinking the threshold);
+    the fitted sigma must still move off the misspecified constant."""
+    from dqgp_tpu.cli import main
+
+    s = main([
+        "--input-dim", "1", "--n-dataset", "150", "--encoding", "hubregtsen",
+        "--kernel-type", "projected", "--num-qubits", "2", "--num-layers", "1",
+        "--outer-kernel", "matern", "--n-agents", "2", "--max-iter", "2",
+        "--cv-folds", "3", "--data-seed", "22", "--no-plot", "--no-cond",
+        "--quiet", "--noise-std", "0.1", "--generating-noise-std", "0.5",
+        "--fit-noise", "--predictive-noise", "--predict-cg-threshold", "64",
+    ])
+    assert s["noise_fit"] is not None
+    assert s["noise_fit"]["fit_samples"] < 150  # the subsample path ran
+    assert s["noise_fit"]["fitted_noise_std"] > 0.25
