@@ -8,9 +8,12 @@ best-CV consensus -> evaluation (+ ground-truth comparison harness for
 synthetic data) -> plots and structured metrics files.
 
 Improvements over the reference (documented divergences, all opt-in or
-additive): structured JSON metrics output, checkpoint/resume, and honest
+additive): structured JSON metrics output, checkpoint/resume, honest
 outer-kernel params via ``--apply-outer-kernel-params`` (the reference
-silently drops them, SURVEY.md §2.1).
+silently drops them, SURVEY.md §2.1), and calibrated uncertainty via
+``--fit-noise`` / ``--predictive-noise`` (marginal-likelihood noise refit
++ observed-Y predictive variance; docs/PERFORMANCE.md round-4 calibration
+section).
 """
 
 from __future__ import annotations
