@@ -139,6 +139,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "with the fitted value; the reference keeps the "
                              "CLI constant (misspecified on real data — see "
                              "docs/PERFORMANCE.md SRTM calibration)")
+    parser.add_argument("--fit-noise-max-samples", type=int, default=2048,
+                        help="cap on the dense-Gram eigendecomposition the "
+                             "--fit-noise MLL fit runs on; larger training "
+                             "sets fit on a seeded subsample of this size "
+                             "(estimator stderr ~sigma/sqrt(2n))")
     parser.add_argument("--predictive-noise", action="store_true",
                         help="evaluate the OBSERVED-Y predictive variance "
                              "(latent variance + noise_std^2); the reference "
@@ -469,18 +474,18 @@ def main(argv=None):
     if args.fit_noise:
         from .models.gp import fit_noise_std as _fit_noise_std
 
-        if large_n:
-            # the exact fit needs the dense training Gram; past the CG
-            # threshold, fit on a seeded subsample instead (the MLL noise
-            # estimator's stderr is ~sigma/sqrt(2n) — ~1.6% at n=2048)
-            fit_n = min(len(X_train), max(args.predict_cg_threshold, 2048))
+        fit_n = min(len(X_train), max(args.fit_noise_max_samples, 8))
+        if fit_n < len(X_train):
+            # the exact fit needs a dense Gram + eigendecomposition; past
+            # the cap, fit on a seeded subsample (the MLL noise estimator's
+            # stderr is ~sigma/sqrt(2n) — ~1.6% at the default n=2048)
             sel = np.random.RandomState(args.seed).choice(
                 len(X_train), fit_n, replace=False)
             X_fit, Y_fit = X_train[sel], Y_train[sel]
-            log(f"--fit-noise: n_train={len(X_train)} exceeds the dense-Gram "
-                f"budget; fitting on a seeded {fit_n}-sample subsample")
+            log(f"--fit-noise: n_train={len(X_train)} > "
+                f"--fit-noise-max-samples={args.fit_noise_max_samples}; "
+                f"fitting on a seeded {fit_n}-sample subsample")
         else:
-            fit_n = len(X_train)
             X_fit, Y_fit = X_train, Y_train
         fit = _fit_noise_std(
             spec, X_fit, Y_fit, np.asarray(hyperparams, np.float64),

@@ -61,3 +61,31 @@ def supports_complex128() -> bool:
     import jax
 
     return jax.default_backend() in ("cpu", "gpu", "cuda", "rocm")
+
+
+def resolve_gram_dtype(dtype: str) -> str:
+    """Resolve a Gram/statevector-pipeline dtype request ("auto" | "float32"
+    | "float64") to a concrete one — ONE home for the precision policy shared
+    by the QuantumKernel facade, dataset generation, and noise fitting.
+
+    "auto" picks float64 wherever the complex128 pipeline is native (CPU/GPU
+    with x64 on) — reference-grade entries, matching qiskit-aer's double
+    precision — and float32 on TPU-class backends (the production path).
+    An EXPLICIT "float64" without x64 raises: jnp would silently build f32
+    arrays and the caller would get f32-grade values under an f64 label.
+    """
+    import jax
+
+    if dtype == "auto":
+        return ("float64"
+                if supports_complex128() and jax.config.jax_enable_x64
+                else "float32")
+    if dtype not in ("float32", "float64"):
+        raise ValueError(
+            f"dtype must be 'auto'/'float32'/'float64', got {dtype!r}")
+    if dtype == "float64" and not jax.config.jax_enable_x64:
+        raise ValueError(
+            "dtype='float64' requires x64 (unset DQGP_X64=0 or enable "
+            "jax_enable_x64); with x64 off the values would silently be "
+            "float32-grade")
+    return dtype

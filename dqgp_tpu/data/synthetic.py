@@ -81,20 +81,10 @@ def generate_quantum_gp_data(
     if spec.circuit.requires_clipping:
         X = np.clip(X, -0.99, 0.99)  # arccos domain guard (main.py:224-236)
 
-    if gram_dtype == "auto":
-        from .. import config as _config
+    from ..config import resolve_gram_dtype
 
-        gram_dtype = (
-            "float64"
-            if _config.supports_complex128() and jax.config.jax_enable_x64
-            else "float32"
-        )
+    gram_dtype = resolve_gram_dtype(gram_dtype)
     if gram_dtype == "float64":
-        if not jax.config.jax_enable_x64:
-            raise ValueError(
-                "gram_dtype='float64' requires x64 (unset DQGP_X64=0 or "
-                "enable jax_enable_x64); with x64 off the Gram would "
-                "silently be float32-grade")
         # np.array (copy) not np.asarray: a dtype-matching f64 jax array on
         # CPU aliases device memory read-only, and the diagonal jitter below
         # mutates K in place.

@@ -11,7 +11,7 @@ at the selected hyperparameters — plus evaluating the OBSERVED-Y predictive
 variance (latent variance + sigma^2; the reference's predict returns latent
 variance only, main.py:1429-1466) — restores calibration at the reference
 config with no extra qubits: maharashtra NLPD 4.91 -> 0.89, 2-sigma
-0.48 -> 0.94; great_lakes NLPD 2.23 -> 0.85, 2-sigma 0.61 -> 0.93
+0.48 -> 0.95; great_lakes NLPD 2.23 -> 0.86, 2-sigma 0.61 -> 0.94
 (docs/PERFORMANCE.md, round 4).
 
 Implementation: ONE symmetric eigendecomposition of the noise-free training
@@ -33,9 +33,18 @@ from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..kernels.quantum_kernel import QuantumKernelSpec, gram
+
+# One fused program per (spec, dtype); un-jitted op-by-op dispatch is
+# pathologically slow on remote-compile TPU backends (same rationale as
+# data/synthetic._gram_jit).
+_gram_jit = jax.jit(
+    lambda spec, X, th, dt: gram(spec, X, th, dtype=dt),
+    static_argnums=(0, 3),
+)
 
 
 class NoiseFitResult(NamedTuple):
@@ -67,16 +76,23 @@ def fit_noise_std(
 ) -> NoiseFitResult:
     """Fit ``noise_std`` by maximizing the training marginal likelihood.
 
-    The Gram is built once through the production pipeline (f64 on CPU
-    backends, f32 elsewhere — entry noise ~1e-7 moves the optimum far less
-    than the fit's own curvature) and eigendecomposed on the host in f64;
-    a caller that already has the noise-free training Gram can pass it as
-    ``K``. Eigenvalues are clamped at 0 (roundoff negatives) so every
-    gridpoint's log term is finite.
+    The Gram is built once through one jitted program at the resolved
+    pipeline precision (``config.resolve_gram_dtype("auto")``: f64 where
+    complex128 is native — CPU/GPU with x64 — f32 on TPU, whose ~1e-4 entry
+    gap moves the fitted sigma far less than the fit's own curvature) and
+    eigendecomposed on the host in f64; a caller that already has the
+    noise-free training Gram can pass it as ``K``. Eigenvalues are clamped
+    at 0 (roundoff negatives) so every gridpoint's log term is finite.
     """
     if K is None:
+        from ...config import resolve_gram_dtype
+
+        dt = jnp.dtype(resolve_gram_dtype("auto"))
         K = np.asarray(
-            gram(spec, jnp.asarray(X_train), jnp.asarray(theta)), np.float64)
+            _gram_jit(spec, jnp.asarray(X_train, dt), jnp.asarray(theta, dt),
+                      dt),
+            np.float64,
+        )
     else:
         K = np.asarray(K, np.float64)
     w, V = np.linalg.eigh(K)

@@ -307,26 +307,10 @@ class QuantumKernel:
     """
 
     def __init__(self, spec: QuantumKernelSpec, dtype: str = "auto"):
-        from ... import config as _config
+        from ...config import resolve_gram_dtype
 
         self.spec = spec
-        if dtype == "auto":
-            dtype = (
-                "float64"
-                if _config.supports_complex128() and jax.config.jax_enable_x64
-                else "float32"
-            )
-        if dtype not in ("float32", "float64"):
-            raise ValueError(f"dtype must be 'auto'/'float32'/'float64', got {dtype!r}")
-        if dtype == "float64" and not jax.config.jax_enable_x64:
-            # jnp would silently build f32 arrays and the facade would
-            # return f32-grade entries under an f64 label (the 'auto'
-            # resolution above never picks f64 without x64)
-            raise ValueError(
-                "dtype='float64' requires x64 (unset DQGP_X64=0 or enable "
-                "jax_enable_x64); with x64 off the entries would silently "
-                "be float32-grade")
-        self._dtype = jnp.dtype(dtype)
+        self._dtype = jnp.dtype(resolve_gram_dtype(dtype))
         self._parameters: Optional[jnp.ndarray] = None
         dt = self._dtype
         self._gram_jit = jax.jit(

@@ -91,10 +91,16 @@ def measure(num_qubits):
     B = FEATURE_BATCH
     X = jnp.asarray(rng.uniform(-0.9, 0.9, (B, 2)), jnp.float32)
     A = angle_matrix(circuit, X, theta)
+    # Reduce over the FULL batch: a [0]-row reduction would leave rows
+    # 1..B-1 dead and license XLA's slice propagation to compute one
+    # sample's state, voiding the measurement. (The originally recorded
+    # curve used [0]-row sums; its XLA timings match the full-batch HBM
+    # traffic model, confirming no DCE fired on that XLA version — full
+    # sums remove the hazard for future re-runs.)
     xla_feat = lambda a: jnp.sum(  # noqa: E731
-        pauli_features(state_from_angles(circuit, a), num_qubits)[0])
+        pauli_features(state_from_angles(circuit, a), num_qubits))
     pal = make_pallas_pauli_features_fn(circuit)
-    pal_feat = lambda a: jnp.sum(pal(a)[0])  # noqa: E731
+    pal_feat = lambda a: jnp.sum(pal(a))  # noqa: E731
     t_xla = _two_point_time(_chain(xla_feat, A), k_lo=8, k_hi=32)
     t_pal = _two_point_time(_chain(pal_feat, A), k_lo=8, k_hi=32)
     row["feat_xla_ms"] = t_xla * 1e3
@@ -122,11 +128,11 @@ def measure(num_qubits):
 
     def gram_xla(a):
         F = state_from_angles(circuit, a)
-        return gram_from_features(spec, F)[0, 1]
+        return jnp.sum(gram_from_features(spec, F))  # full-Gram reduction
 
     def gram_pal(a):
         F = pal_states(a)
-        return gram_from_features(spec, F)[0, 1]
+        return jnp.sum(gram_from_features(spec, F))
 
     tg_xla = _two_point_time(_chain(gram_xla, Ag), k_lo=4, k_hi=12)
     tg_pal = _two_point_time(_chain(gram_pal, Ag), k_lo=4, k_hi=12)

@@ -387,6 +387,9 @@ def test_history_rows_tagged_with_resolved_solver():
                             compute_cond=False))
     assert [row["solver"] for row in res.nll_history] == ["float64"] * 2
     assert [row["solver"] for row in res.cv_history] == ["float64"] * 2
+
+
+def test_flag_solvers_ignore_caller_fallback():
     """The solver string owns the failure semantics: a caller passing
     fallback=True (a plain keyword that would override a functools.partial
     binding) must NOT re-enable the in-program rescue of a '-flag' solver —
