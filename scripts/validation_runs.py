@@ -43,6 +43,18 @@ CONFIGS = {
         "--num-qubits", "5", "--num-layers", "4", "--outer-kernel", "matern",
         "--n-agents", "8",
     ],
+    "config3_srtm_great_lakes": [
+        "--real-world-dataset", "srtm", "--srtm-region", "great_lakes",
+        "--dataset-max-samples", "1000", "--dataset-normalize",
+        "--encoding", "chebyshev", "--kernel-type", "projected",
+        "--num-qubits", "4", "--num-layers", "3", "--outer-kernel", "matern",
+    ],
+    "config3_srtm_oregon": [
+        "--real-world-dataset", "srtm", "--srtm-region", "oregon_coast",
+        "--dataset-max-samples", "1000", "--dataset-normalize",
+        "--encoding", "chebyshev", "--kernel-type", "projected",
+        "--num-qubits", "4", "--num-layers", "3", "--outer-kernel", "matern",
+    ],
     "sst": [
         "--real-world-dataset", "sst", "--dataset-max-samples", "1000",
         "--dataset-normalize", "--encoding", "yz_cx",
@@ -99,12 +111,27 @@ def main():
     ap.add_argument("--iters", type=int, default=25,
                     help="ADMM iterations per config")
     ap.add_argument("--skip-fidelity", action="store_true")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated config names to run (default all); "
+                         "fidelity dims still run unless --skip-fidelity")
     ap.add_argument("--out", type=str,
                     default="results_round2/validation_runs.json")
     args = ap.parse_args()
 
+    only = set(args.only.split(",")) if args.only else None
+    if only:
+        unknown = only - set(CONFIGS)
+        if unknown:
+            raise SystemExit(f"--only names not in CONFIGS: {sorted(unknown)}")
+
     results = {}
+    # merge into an existing output file so partial (--only) runs extend it
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
     for name, cfg in CONFIGS.items():
+        if only and name not in only:
+            continue
         results[name] = run_config(name, cfg, args.iters, args.chain_iters)
 
     if not args.skip_fidelity:
