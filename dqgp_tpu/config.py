@@ -21,6 +21,16 @@ use_pallas: str = os.environ.get("DQGP_USE_PALLAS", "auto")
 # the smallest size the equality sweep covers on hardware.
 PALLAS_MIN_QUBITS: int = int(os.environ.get("DQGP_PALLAS_MIN_QUBITS", "2"))
 
+# Round-5 gate-fusion pass (ops/fusion.py): SU(2) runs pre-multiplied outside
+# the kernel + diagonal rings collapsed to one MXU phase matmul. "on"
+# (default) routes the Pallas production path through the fused program;
+# "off" restores the round-4 gate-by-gate kernel. Env: DQGP_FUSION.
+use_fusion: str = os.environ.get("DQGP_FUSION", "on")
+
+
+def fusion_enabled() -> bool:
+    return use_fusion != "off"
+
 
 def pallas_enabled(num_qubits: int) -> bool:
     import jax

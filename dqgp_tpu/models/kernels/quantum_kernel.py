@@ -133,8 +133,14 @@ def features_from_angles(spec: QuantumKernelSpec, angles: jax.Array) -> jax.Arra
     from ... import config as _config
     from ...ops.pallas_circuit import (
         make_pallas_pauli_features_fn,
+        make_pallas_pauli_features_fused_fn,
         make_pallas_states_fn,
+        make_pallas_states_fused_fn,
     )
+
+    if _config.fusion_enabled():
+        make_pallas_pauli_features_fn = make_pallas_pauli_features_fused_fn
+        make_pallas_states_fn = make_pallas_states_fused_fn
 
     n = spec.circuit.num_qubits
     f64 = angles.dtype == jnp.float64

@@ -71,8 +71,12 @@ def measure(num_qubits):
     from dqgp_tpu.models.kernels.quantum_kernel import (
         QuantumKernelSpec, gram_from_features,
     )
+    from dqgp_tpu.ops.fusion import fuse_circuit
     from dqgp_tpu.ops.pallas_circuit import (
-        make_pallas_pauli_features_fn, make_pallas_states_fn,
+        make_pallas_pauli_features_fn,
+        make_pallas_pauli_features_fused_fn,
+        make_pallas_states_fn,
+        make_pallas_states_fused_fn,
     )
     from dqgp_tpu.ops.statevector import (
         angle_matrix, pauli_features, state_from_angles,
@@ -101,13 +105,21 @@ def measure(num_qubits):
         pauli_features(state_from_angles(circuit, a), num_qubits))
     pal = make_pallas_pauli_features_fn(circuit)
     pal_feat = lambda a: jnp.sum(pal(a))  # noqa: E731
+    fus = make_pallas_pauli_features_fused_fn(circuit)
+    fus_feat = lambda a: jnp.sum(fus(a))  # noqa: E731
     t_xla = _two_point_time(_chain(xla_feat, A), k_lo=8, k_hi=32)
     t_pal = _two_point_time(_chain(pal_feat, A), k_lo=8, k_hi=32)
+    t_fus = _two_point_time(_chain(fus_feat, A), k_lo=8, k_hi=32)
     row["feat_xla_ms"] = t_xla * 1e3
     row["feat_pallas_ms"] = t_pal * 1e3
+    row["feat_fused_ms"] = t_fus * 1e3
     row["feat_xla_samples_per_s"] = B / t_xla
     row["feat_pallas_samples_per_s"] = B / t_pal
+    row["feat_fused_samples_per_s"] = B / t_fus
     row["feat_speedup"] = t_xla / t_pal
+    row["feat_fused_speedup_vs_pallas"] = t_pal / t_fus
+    prog = fuse_circuit(circuit)
+    row["fused_state_sweeps"] = prog.num_state_sweeps
 
     # roofline: XLA path HBM traffic = G gate passes x (read+write) state
     xla_bytes = G * B * dim * 8 * 2
@@ -134,13 +146,23 @@ def measure(num_qubits):
         F = pal_states(a)
         return jnp.sum(gram_from_features(spec, F))
 
+    fus_states = make_pallas_states_fused_fn(circuit)
+
+    def gram_fus(a):
+        F = fus_states(a)
+        return jnp.sum(gram_from_features(spec, F))
+
     tg_xla = _two_point_time(_chain(gram_xla, Ag), k_lo=4, k_hi=12)
     tg_pal = _two_point_time(_chain(gram_pal, Ag), k_lo=4, k_hi=12)
+    tg_fus = _two_point_time(_chain(gram_fus, Ag), k_lo=4, k_hi=12)
     row["gram_xla_ms"] = tg_xla * 1e3
     row["gram_pallas_ms"] = tg_pal * 1e3
+    row["gram_fused_ms"] = tg_fus * 1e3
     row["gram_xla_entries_per_s"] = N * N / tg_xla
     row["gram_pallas_entries_per_s"] = N * N / tg_pal
+    row["gram_fused_entries_per_s"] = N * N / tg_fus
     row["gram_speedup"] = tg_xla / tg_pal
+    row["gram_fused_speedup_vs_pallas"] = tg_pal / tg_fus
     # the matmul part: |Psi Psi^H|^2 = 2 real (N, 2d) @ (2d, N) products
     row["gram_matmul_gflop"] = 2 * (2.0 * N * N * 2 * dim) / 1e9
     return row
@@ -151,23 +173,24 @@ def main():
     rows = [measure(q) for q in (4, 6, 8, 10, 12)]
     out = {"rows": rows, "feature_batch": FEATURE_BATCH, "gram_n": GRAM_N,
            "hbm_bw_bytes_per_s": HBM_BW, "wall_s": round(time.time() - t0, 1)}
-    os.makedirs("results_round4", exist_ok=True)
-    path = "results_round4/pallas_roofline.json"
+    os.makedirs("results_round5", exist_ok=True)
+    path = "results_round5/pallas_roofline.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
-    hdr = ("| q | gates | feat XLA ms | feat Pallas ms | speedup | XLA "
-           "HBM-bound ms | XLA %HBM | Pallas GF/s | gram XLA e/s | gram "
-           "Pallas e/s | speedup |")
+    hdr = ("| q | gates | sweeps | feat XLA ms | feat Pallas ms | feat "
+           "FUSED ms | fused/pallas | gram XLA e/s | gram Pallas e/s | gram "
+           "FUSED e/s | fused/pallas |")
     print(hdr)
     print("|" + "---|" * 11)
     for r in rows:
-        print(f"| {r['qubits']} | {r['gates']} | {r['feat_xla_ms']:.3f} "
-              f"| {r['feat_pallas_ms']:.3f} | {r['feat_speedup']:.1f}x "
-              f"| {r['xla_hbm_bound_ms']:.3f} | {r['xla_hbm_fraction']*100:.0f}% "
-              f"| {r['pallas_achieved_gflops_per_s']:.0f} "
+        print(f"| {r['qubits']} | {r['gates']} | {r['fused_state_sweeps']} "
+              f"| {r['feat_xla_ms']:.3f} "
+              f"| {r['feat_pallas_ms']:.3f} | {r['feat_fused_ms']:.3f} "
+              f"| {r['feat_fused_speedup_vs_pallas']:.2f}x "
               f"| {r['gram_xla_entries_per_s']:.2e} "
               f"| {r['gram_pallas_entries_per_s']:.2e} "
-              f"| {r['gram_speedup']:.1f}x |", flush=True)
+              f"| {r['gram_fused_entries_per_s']:.2e} "
+              f"| {r['gram_fused_speedup_vs_pallas']:.2f}x |", flush=True)
     print(f"wrote {path}")
 
 

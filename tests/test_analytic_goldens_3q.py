@@ -319,3 +319,13 @@ def test_goldens_discriminate_topology_direction_and_ordering():
         + [ctrl3(X_PAULI, 0, 1), ctrl3(X_PAULI, 1, 2)]
     )
     assert np.linalg.norm(ky_good - ky_swapped) > 0.1
+
+    # broken feature cycling on highdim at d=2: feeding x[q % 1] (x0
+    # everywhere) instead of x[q % 2] must move the state — i.e. the d=2
+    # golden genuinely pins which feature lands on which qubit (ADVICE r4).
+    th3 = TH[:3]
+    x2 = np.array([X0, X1])
+    hd_good = expected_highdim3(th3, x2)
+    hd_cycle_broken = expected_highdim3(th3, np.array([X0]))  # q -> x[q % 1]
+    assert abs(X0 - X1) > 0.1  # the perturbation is non-trivial by input
+    assert np.linalg.norm(hd_good - hd_cycle_broken) > 0.1
