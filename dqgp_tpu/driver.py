@@ -365,11 +365,14 @@ def train(
             step_cond = False
             cond_mode = "host" if cfg.compute_cond else "off"
         if cfg.solve_2d == "distributed" and cfg.psd_fallback:
-            # the row-sharded Cholesky has no eigh-pinv rescue branch; a
-            # non-PSD factorization surfaces as NaN NLL (documented in
-            # make_admm_step_2d's restrictions)
-            log("solve_2d=distributed: psd_fallback is inert (no sharded "
-                "eigh-pinv rescue; non-PSD systems surface as NaN NLL)")
+            # the row-sharded Cholesky has no in-program eigh-pinv rescue
+            # branch; a non-PSD factorization surfaces as NaN NLL and the
+            # driver re-runs that iteration's agent updates through the
+            # replicated float64 step (the same host-coordinated rescue the
+            # mixed solver uses) — mirroring the reference's always-rescued
+            # Cholesky->LU->pinv chain (agent_riemannian.py:414-428)
+            log("solve_2d=distributed: psd_fallback routes through the "
+                "driver's float64 re-run (no sharded eigh-pinv branch)")
         step = make_admm_step_2d(
             spec, mesh2d,
             rho=cfg.rho, L=cfg.L, noise_std=cfg.noise_std,
@@ -431,6 +434,12 @@ def train(
     # direct branch inside vmap (where lax.cond lowers to select and BOTH
     # branches would execute every iteration). The driver re-runs such an
     # iteration through a float64 step, compiled on first use.
+    # solve_2d="distributed" shares the rescue: its row-sharded Cholesky has
+    # no in-program fallback, so a non-PSD agent system surfaces as NaN NLL
+    # and gets the same f64 re-run (on the 2-D mesh the f64 step uses the
+    # replicated solve — the distributed panel algorithm never runs in f64).
+    rescue_on_nan = cfg.gp_dtype == "mixed" or (
+        mesh2d is not None and cfg.solve_2d == "distributed")
     _step64 = []
 
     def get_step64():
@@ -832,7 +841,7 @@ def train(
             t_row = (time.time() - chunk_start) / chain_k
             for j in range(chain_k):
                 z_row, sec, fold_scores, th_row, ps_row = _unpack_row(rows[j])
-                if cfg.gp_dtype == "mixed" and not np.all(np.isfinite(sec[1])):
+                if rescue_on_nan and not np.all(np.isfinite(sec[1])):
                     # A flagged agent poisons every later row in the chunk
                     # (NaN theta/psi propagate); re-run THIS iteration's
                     # agent updates in f64 from the pre-row state, then
@@ -845,8 +854,8 @@ def train(
                         ps_prev = np.asarray(psi, np.float64)
                     else:
                         _, _, _, th_prev, ps_prev = _unpack_row(rows[j - 1])
-                    log("  mixed solver flagged an ill-conditioned agent "
-                        "system; re-running this iteration's agent updates "
+                    log("  non-finite agent NLL (mixed flag / distributed "
+                        "solve); re-running this iteration's agent updates "
                         "in float64")
                     th_d, ps_d = place_state(th_prev, ps_prev)
                     out64, packed64 = get_step64()(th_d, ps_d, batch)
@@ -901,12 +910,12 @@ def train(
             host = np.asarray(packed)
         z, sec, fold_scores = _unpack(host)
         rescued = False
-        if cfg.gp_dtype == "mixed" and not np.all(np.isfinite(sec[1])):
+        if rescue_on_nan and not np.all(np.isfinite(sec[1])):
             # The consensus z-update only reads LAST iteration's theta/psi,
             # so z (and any fused CV scores on it) is valid even when an
             # agent's mixed solve was flagged — only the agent-side outputs
             # need the f64 re-run.
-            log("  mixed solver flagged an ill-conditioned agent system; "
+            log("  non-finite agent NLL (mixed flag / distributed solve); "
                 "re-running this iteration's agent updates in float64")
             out, packed64 = get_step64()(theta, psi, batch)
             z, sec, _ = _unpack(np.asarray(packed64))  # keeps fused CV scores

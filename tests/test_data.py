@@ -43,13 +43,16 @@ def test_split_regional_grid_2d():
     assert sum(len(s[0]) for s in splits) >= 100
 
 
-def test_split_regional_kd_fallback():
+def test_split_regional_kd_fallback(capsys):
     rng = np.random.RandomState(2)
     X = rng.rand(90, 2)
     Y = rng.rand(90)
     splits = split_data_numpy(X, Y, 3, "regional")  # 3 not a perfect square -> k-d
     assert len(splits) == 3
     assert sum(len(s[0]) for s in splits) == 90
+    # print-parity with main.py:564 (VERDICT r4 weak #6)
+    assert ("Warning: n_agents=3 is not a perfect 2-th power. "
+            "Using k-d tree split instead.") in capsys.readouterr().out
 
 
 def test_split_random_seeded_and_sequential():

@@ -568,3 +568,42 @@ def test_driver_train_2d_distributed_solve():
     b = train(spec, splits, X, Y, TrainConfig(solve_2d="distributed", **base))
     np.testing.assert_array_equal(b.z, a.z)
     np.testing.assert_array_equal(np.asarray(b.theta), np.asarray(a.theta))
+
+
+@pytest.mark.slow
+def test_driver_train_2d_distributed_solve_f64_rescue():
+    """VERDICT r4 weak #3: a near-singular agent Gram through the 2-D
+    DISTRIBUTED solve must not propagate NaN NLL — the driver re-runs the
+    iteration's agent updates through the replicated float64 step (tagging
+    'float64-rescue'), mirroring the reference's always-rescued
+    Cholesky->LU->pinv chain (agent_riemannian.py:414-428)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dqgp_tpu.driver import TrainConfig, train
+
+    spec = _spec()
+    rng = np.random.RandomState(5)
+    X = rng.uniform(-0.9, 0.9, (96, 2))
+    Y = np.sin(3 * X[:, 0]) + 0.2 * rng.randn(96)
+    # agent 0's shard = ONE point replicated: with noise_std=0 its Gram is
+    # exactly rank-1 -> zero Cholesky pivots -> NaN NLL in the f32
+    # row-sharded solve (no in-program fallback there)
+    X[:24] = X[0]
+    Y[:24] = Y[0]
+    splits = split_data_numpy(X, Y, 4, "sequential")
+
+    base = dict(max_iter=2, verbose=False, compute_cond=False,
+                data_mesh_cols=2, noise_std=0.0, psd_fallback=True)
+    got = train(spec, splits, X, Y, TrainConfig(
+        solve_2d="distributed", gp_dtype="float32", **base))
+    for row in got.nll_history:
+        assert np.all(np.isfinite(row["agent_losses"])), row
+        assert row["solver"] == "float64-rescue", row
+
+    # the rescued trajectory equals an all-f64 replicated run's
+    want = train(spec, splits, X, Y, TrainConfig(gp_dtype="float64", **base))
+    np.testing.assert_allclose(
+        np.asarray(got.z), np.asarray(want.z), atol=1e-12)
+    nll_got = [row["total_nll"] for row in got.nll_history]
+    nll_want = [row["total_nll"] for row in want.nll_history]
+    np.testing.assert_allclose(nll_got, nll_want, rtol=1e-9)
