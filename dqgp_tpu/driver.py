@@ -619,6 +619,11 @@ def train(
         nll_history.append({
             "iteration": it,
             "solver": solver if solver is not None else cfg.gp_dtype,
+            # wall seconds attributed to this iteration (chained dispatch:
+            # chunk wall / chain_iters; the first chunk includes compile).
+            # Feeds the post-training timing report and bench's chained
+            # ms/iter metric.
+            "iter_time": float(it_time),
             "agent_losses": nll.tolist(),
             "condition_numbers": conds.tolist(),
             "nll_components": [

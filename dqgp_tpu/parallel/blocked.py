@@ -26,6 +26,7 @@ from typing import Callable, NamedTuple, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.gp.metrics import outer_diag
 from ..models.kernels.quantum_kernel import QuantumKernelSpec, gram_from_features
@@ -984,6 +985,7 @@ def make_distributed_cholesky_nll(
     jitter: float = 0.0,  # matches nll_large / the reference agent NLL (no jitter)
     dtype=jnp.float32,
     data_axis: str = "data",
+    n_real: Optional[int] = None,
 ):
     """Exact GP NLL at multi-chip scale: a left-looking blocked Cholesky of
     (K + sigma^2 I) with the L factor ROW-SHARDED over ``data_axis`` — no chip
@@ -997,7 +999,14 @@ def make_distributed_cholesky_nll(
     the quadratic term walks the same block structure (one psum per block).
 
     Requires: n_total divisible by block; (n_total / block) divisible by the
-    mesh size (each device owns an integer number of row blocks).
+    mesh size (each device owns an integer number of row blocks). For a REAL
+    sample count that does not satisfy this, zero-pad F and y up to the next
+    valid ``n_total`` (``pad_rows_for_distributed`` does both) and pass the
+    true count as ``n_real``: padded rows are masked out of every Gram panel
+    and carry an identity diagonal, so the factorization stays PSD, their
+    logdet contribution is zero, the forward substitution leaves them at
+    zero, and the constant term uses ``n_real`` — the returned NLL is
+    EXACTLY the unpadded system's.
 
     Returns fn(F_local, y_local) -> (nll, log_det_term, quadratic_term,
     constant_term) with F (N, D) and y (N,) sharded along rows; outputs
@@ -1022,6 +1031,10 @@ def make_distributed_cholesky_nll(
         raise ValueError(f"block count {nb} must divide over {n_dev} devices")
     rows_local = n_total // n_dev
     sigma2 = noise_std**2 + jitter
+    n_real = n_total if n_real is None else int(n_real)
+    if not 0 < n_real <= n_total:
+        raise ValueError(f"n_real={n_real} must be in (0, n_total={n_total}]")
+    ragged = n_real != n_total
 
     def body(F_local, y_local, V_local, w, shift):
         d = jax.lax.axis_index(data_axis)
@@ -1041,6 +1054,16 @@ def make_distributed_cholesky_nll(
                 V_k = jax.lax.dynamic_slice_in_dim(V_full, k * block, block, 0)
                 Pnl = Pnl + (V_local * w[None, :]).astype(dtype) @ V_k.T.astype(dtype)
                 Pnl = Pnl + shift.astype(dtype) * on_diag
+            if ragged:
+                # zero-padded feature rows do NOT produce zero Gram entries
+                # (k(0, x) != 0 for these kernels) — mask them out and give
+                # padded rows an identity diagonal so the factor stays PSD
+                # with zero logdet contribution
+                rvalid = (row_ids < n_real).astype(dtype)[:, None]
+                cvalid = (col_ids < n_real).astype(dtype)
+                Pnl = Pnl * rvalid * cvalid
+                return Pnl + on_diag * jnp.where(rvalid > 0, sigma2,
+                                                 1.0).astype(dtype)
             return Pnl + sigma2 * on_diag
 
         def extract_strip(M_local, k):
@@ -1101,7 +1124,7 @@ def make_distributed_cholesky_nll(
         wv = jax.lax.fori_loop(0, nb, fwd_step, jnp.zeros((n_total,), dtype))
         quad = 0.5 * jnp.sum(wv * wv)
         ld = 0.5 * logdet
-        const = 0.5 * n_total * jnp.log(2.0 * jnp.pi)
+        const = 0.5 * n_real * jnp.log(2.0 * jnp.pi)
         nll = ld + quad + const
         return nll, ld, quad, const
 
@@ -1120,10 +1143,31 @@ def make_distributed_cholesky_nll(
         return nll_fn
 
     def nll_fn(F_local, y_local):
-        reg = reg_build(F_local, jnp.ones((n_total,), dtype))
+        # padded rows are masked out of the eigen-clip's Gram too, so the
+        # regularizer is computed on the REAL system
+        mask = (jnp.arange(n_total) < n_real).astype(dtype)
+        reg = reg_build(F_local, mask)
         return jitted(F_local, y_local, reg.V, reg.w, reg.shift)
 
     return nll_fn
+
+
+def pad_rows_for_distributed(F: np.ndarray, y: np.ndarray, block: int,
+                             n_devices: int):
+    """Zero-pad (F, y) rows up to the next multiple of ``block * n_devices``
+    so they satisfy ``make_distributed_cholesky_nll``'s layout requirements.
+
+    Returns (F_pad, y_pad, n_total, n_real); pass ``n_total``/``n_real``
+    through to the factory. Zero rows are the contract the ragged masking
+    inside the factorization expects.
+    """
+    n_real = F.shape[0]
+    step = block * n_devices
+    n_total = ((n_real + step - 1) // step) * step
+    if n_total != n_real:
+        F = np.pad(np.asarray(F), ((0, n_total - n_real), (0, 0)))
+        y = np.pad(np.asarray(y), (0, n_total - n_real))
+    return F, y, n_total, n_real
 
 
 def make_cg_predictor(

@@ -194,3 +194,92 @@ def test_distributed_cholesky_nll_honors_regularization():
     np.testing.assert_allclose(float(nll), float(ref.nll), rtol=3e-5)
     np.testing.assert_allclose(float(ld), float(ref.log_det_term), rtol=3e-5,
                                atol=1e-4)
+
+
+@pytest.mark.slow
+def test_distributed_cholesky_nll_ragged_n():
+    """VERDICT r5 #6: n NOT divisible by block x devices. pad_rows_for_
+    distributed zero-pads up to the layout multiple and n_real masks the
+    padded rows out of every Gram panel — the NLL must equal the dense
+    oracle on the REAL 101-row system exactly."""
+    from dqgp_tpu.parallel.blocked import (
+        make_distributed_cholesky_nll, pad_rows_for_distributed,
+    )
+    from dqgp_tpu.models.gp.posterior import masked_nll_and_grad
+    from dqgp_tpu.models.kernels.quantum_kernel import gram_from_features
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    spec = QuantumKernelSpec(
+        circuit=build_circuit("hubregtsen", 3, 2, 1),
+        kernel_type="projected", outer_kernel="gaussian",
+    )
+    rng = np.random.RandomState(11)
+    N, block, n_dev = 101, 16, 4  # 101 -> pads to 128 (8 blocks / 4 devices)
+    X = jnp.asarray(rng.uniform(-0.9, 0.9, (N, 2)), jnp.float32)
+    theta = jnp.asarray(rng.uniform(0, np.pi, spec.num_parameters), jnp.float32)
+    F = np.asarray(kernel_features(spec, X, theta), np.float64)
+    Y = np.sin(np.asarray(X)[:, 0]) + 0.05 * rng.randn(N)
+
+    Fp, yp, n_total, n_real = pad_rows_for_distributed(F, Y, block, n_dev)
+    assert (n_total, n_real) == (128, 101)
+
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    fn = make_distributed_cholesky_nll(spec, mesh, noise_std=0.1,
+                                       n_total=n_total, block=block,
+                                       dtype=jnp.float64, n_real=n_real)
+    shard = NamedSharding(mesh, P("data"))
+    nll, ld, quad, const = fn(jax.device_put(jnp.asarray(Fp), shard),
+                              jax.device_put(jnp.asarray(yp), shard))
+
+    K = np.asarray(gram_from_features(spec, jnp.asarray(F)), np.float64)
+    ref = masked_nll_and_grad(jnp.asarray(K), jnp.zeros((0, N, N)),
+                              jnp.asarray(Y), jnp.ones(N), 0.1,
+                              compute_cond=False)
+    assert np.isclose(float(nll), float(ref.nll), rtol=1e-10)
+    assert np.isclose(float(ld), float(ref.log_det_term), rtol=1e-10)
+    assert np.isclose(float(quad), float(ref.quadratic_term), rtol=1e-9)
+    assert np.isclose(float(const), float(ref.constant_term), rtol=1e-12)
+
+
+@pytest.mark.slow
+def test_distributed_cholesky_nll_ragged_n_regularized():
+    """Ragged n_real with tikhonov: the eigen-clip must see only the REAL
+    rows (the mask flows into the sharded LOBPCG), matching the dense
+    regularized oracle at the regularizer's ~1e-4 tolerance."""
+    from dqgp_tpu.parallel.blocked import (
+        make_distributed_cholesky_nll, pad_rows_for_distributed,
+    )
+    from dqgp_tpu.models.gp.posterior import masked_nll_and_grad
+    from dqgp_tpu.models.kernels.quantum_kernel import gram_from_features
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    spec = QuantumKernelSpec(
+        circuit=build_circuit("hubregtsen", 3, 2, 1),
+        kernel_type="projected", outer_kernel="gaussian",
+        regularization="tikhonov",
+    )
+    rng = np.random.RandomState(13)
+    N, block, n_dev = 90, 16, 4  # 90 -> pads to 128
+    X = jnp.asarray(rng.uniform(-0.9, 0.9, (N, 2)), jnp.float32)
+    theta = jnp.asarray(rng.uniform(0, np.pi, spec.num_parameters), jnp.float32)
+    F = np.asarray(kernel_features(spec, X, theta), np.float64)
+    Y = np.sin(np.asarray(X)[:, 0]) + 0.05 * rng.randn(N)
+
+    Fp, yp, n_total, n_real = pad_rows_for_distributed(F, Y, block, n_dev)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    fn = make_distributed_cholesky_nll(spec, mesh, noise_std=0.1,
+                                       n_total=n_total, block=block,
+                                       dtype=jnp.float64, n_real=n_real)
+    shard = NamedSharding(mesh, P("data"))
+    nll, ld, quad, const = fn(jax.device_put(jnp.asarray(Fp), shard),
+                              jax.device_put(jnp.asarray(yp), shard))
+
+    K_reg = np.asarray(gram_from_features(spec, jnp.asarray(F)), np.float64)
+    ref = masked_nll_and_grad(jnp.asarray(K_reg), jnp.zeros((0, N, N)),
+                              jnp.asarray(Y), jnp.ones(N), 0.1,
+                              compute_cond=False)
+    np.testing.assert_allclose(float(nll), float(ref.nll), rtol=3e-5)
+    np.testing.assert_allclose(float(ld), float(ref.log_det_term), rtol=3e-5,
+                               atol=1e-4)
