@@ -420,9 +420,15 @@ def main(argv=None):
         log(f"Profiler trace written to {args.profile_dir}")
 
     hyperparams = res.z_best_cv if res.z_best_cv is not None else res.z
-    log(f"Final consensus params: {res.z}")
-    if res.z_best_cv is not None:
-        log(f"Best CV params:         {res.z_best_cv} (CV-NLPD {res.cv_best:.6f})")
+    # post-training narrative (main.py:2786-3094): timing, hyperparameter
+    # summary + consensus check, GT analysis, CV-score evolution, NLL
+    # convergence, NLL-vs-error comparison — the reference prints this
+    # unconditionally on its verbose path
+    if not args.quiet:
+        from .utils.analysis import post_training_report
+
+        post_training_report(res, log=log,
+                             ground_truth_params=ground_truth_params)
 
     # --- final prediction + evaluation (main.py:3104-3682) --------------------
     large_n = len(X_train) > max(args.predict_cg_threshold, 1)
