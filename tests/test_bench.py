@@ -47,6 +47,7 @@ def _mode_map(overrides=None):
         "admm_f32": {"iter_seconds": 0.01},
         "admm_parity": {"iter_seconds": 0.2},
         "admm_mixed": {"iter_seconds": 0.02},
+        "admm_chained": {"chained_ms_per_iter": 2.5},
     }
     base.update(overrides or {})
     return base
@@ -81,6 +82,7 @@ def test_happy_path_record(fresh_bench, monkeypatch):
     assert rec["vs_baseline"] == 2000.0                # 40 / 0.02 (mixed)
     assert rec["nlpd_parity_ok"] is True
     assert rec["gram_entries_per_sec_chip"] == 1e10
+    assert rec["chained_ms_per_iter"] == 2.5
     assert "errors" not in rec
 
 
