@@ -22,14 +22,32 @@ use_pallas: str = os.environ.get("DQGP_USE_PALLAS", "auto")
 PALLAS_MIN_QUBITS: int = int(os.environ.get("DQGP_PALLAS_MIN_QUBITS", "2"))
 
 # Round-5 gate-fusion pass (ops/fusion.py): SU(2) runs pre-multiplied outside
-# the kernel + diagonal rings collapsed to one MXU phase matmul. "on"
-# (default) routes the Pallas production path through the fused program;
-# "off" restores the round-4 gate-by-gate kernel. Env: DQGP_FUSION.
-use_fusion: str = os.environ.get("DQGP_FUSION", "on")
+# the kernel + diagonal rings collapsed to one MXU phase matmul. Default
+# "auto" applies the pass only where the v5e roofline shows it WINNING
+# (results_round5/pallas_roofline.json): the Pauli-FEATURE path at >= 10
+# qubits (1.4x at 10q — the 2.2x sweep reduction nets out against a ~1.45x
+# per-sweep cost for generic SU(2)/phase ops plus a fixed ~0.13 ms/4096
+# host-side coefficient precompute). At small dim the precompute dominates
+# (0.12x at 4 qubits), and on the raw-STATES path (fidelity Gram) the fused
+# kernel measured 0.94x at 10q — both keep the round-4 gate-by-gate kernel.
+# "on" forces fusion everywhere, "off" nowhere. Env: DQGP_FUSION.
+use_fusion: str = os.environ.get("DQGP_FUSION", "auto")
+
+FUSION_MIN_QUBITS_FEATURES: int = int(
+    os.environ.get("DQGP_FUSION_MIN_QUBITS", "10"))
 
 
-def fusion_enabled() -> bool:
-    return use_fusion != "off"
+def fusion_enabled(num_qubits: int | None = None,
+                   path: str = "features") -> bool:
+    """Measured fusion policy. ``path`` is "features" (Pauli features — the
+    projected-kernel hot path) or "states" (raw statevectors / fidelity)."""
+    if use_fusion == "off":
+        return False
+    if use_fusion == "on":
+        return True
+    if num_qubits is None:  # auto with no size context: be conservative
+        return False
+    return path == "features" and num_qubits >= FUSION_MIN_QUBITS_FEATURES
 
 
 def pallas_enabled(num_qubits: int) -> bool:

@@ -138,11 +138,11 @@ def features_from_angles(spec: QuantumKernelSpec, angles: jax.Array) -> jax.Arra
         make_pallas_states_fused_fn,
     )
 
-    if _config.fusion_enabled():
-        make_pallas_pauli_features_fn = make_pallas_pauli_features_fused_fn
-        make_pallas_states_fn = make_pallas_states_fused_fn
-
     n = spec.circuit.num_qubits
+    if _config.fusion_enabled(n, "features"):
+        make_pallas_pauli_features_fn = make_pallas_pauli_features_fused_fn
+    if _config.fusion_enabled(n, "states"):
+        make_pallas_states_fn = make_pallas_states_fused_fn
     f64 = angles.dtype == jnp.float64
     cdtype = jnp.complex128 if f64 else jnp.complex64
     use_pallas = _config.pallas_enabled(n) and not f64

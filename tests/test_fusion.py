@@ -136,13 +136,23 @@ def test_packed_rows_layout_consistent():
 
 
 def test_fused_dispatch_respects_config_flag():
-    """quantum_kernel routes through fused kernels iff config.use_fusion."""
+    """quantum_kernel routes through fused kernels per the measured policy:
+    auto = features-only at >= FUSION_MIN_QUBITS_FEATURES qubits (v5e
+    roofline, results_round5/pallas_roofline.json); on/off force."""
     from dqgp_tpu import config as cfg
 
-    assert cfg.fusion_enabled()
     saved = cfg.use_fusion
     try:
+        cfg.use_fusion = "auto"
+        t = cfg.FUSION_MIN_QUBITS_FEATURES
+        assert cfg.fusion_enabled(t, "features")
+        assert cfg.fusion_enabled(t + 2, "features")
+        assert not cfg.fusion_enabled(t - 1, "features")  # precompute-bound
+        assert not cfg.fusion_enabled(t, "states")        # 0.94x at 10q
+        assert not cfg.fusion_enabled()                   # no size context
+        cfg.use_fusion = "on"
+        assert cfg.fusion_enabled(2, "states")
         cfg.use_fusion = "off"
-        assert not cfg.fusion_enabled()
+        assert not cfg.fusion_enabled(12, "features")
     finally:
         cfg.use_fusion = saved
