@@ -344,3 +344,25 @@ def test_cond_mode_rejects_unknown_values():
         train(spec, splits, X, Y,
               TrainConfig(max_iter=1, cv_folds=2, verbose=False,
                           cond_mode="Host"))
+
+
+def test_device_cond_on_f32_accelerator_warns(capsys):
+    """cond_mode="device" on an accelerator backend prints the
+    cond-saturation warning (VERDICT r4 weak #4: accelerator Grams are
+    f32-built, flooring resolvable cond at ~1e7-1e8, so bucket values would
+    be lower bounds); the CPU backend and the host/off modes stay silent."""
+    from dqgp_tpu.driver import _warn_device_cond_floor
+
+    _warn_device_cond_floor("device", "tpu")
+    assert "saturate" in capsys.readouterr().out
+    for mode, backend in (("device", "cpu"), ("host", "tpu"), ("off", "tpu")):
+        _warn_device_cond_floor(mode, backend)
+        assert capsys.readouterr().out == ""
+
+    # integration: a real device-mode CPU training run emits no warning
+    spec, X, Y, gt = _make_problem(n=16)
+    splits = split_data_numpy(X, Y, 2, "sequential")
+    train(spec, splits, X, Y,
+          TrainConfig(max_iter=1, cv_folds=2, verbose=False,
+                      cond_mode="device"))
+    assert "saturate" not in capsys.readouterr().out
